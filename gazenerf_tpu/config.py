@@ -1,0 +1,227 @@
+"""Configuration tree for the TPU-native GazeNeRF framework.
+
+One dataclass config tree replaces the reference's two-tier argparse +
+hard-coded ``BaseOptions`` system (reference: configs/gazenerf_options.py:1-36,
+train.py:15-47).  The tree is serialized into checkpoints so a run is fully
+reproducible from its checkpoint alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters.
+
+    Mirrors the capability surface of the reference ``BaseOptions``
+    (configs/gazenerf_options.py:9-35) but is an explicit, frozen dataclass.
+    """
+
+    bg_type: str = "white"  # "white" | "black"
+
+    iden_code_dims: int = 100
+    expr_code_dims: int = 79
+    text_code_dims: int = 100
+    illu_code_dims: int = 27
+    eye_code_dims: int = 2  # (pitch, yaw) gaze
+
+    num_sample_coarse: int = 64
+    num_sample_fine: int = 128
+    hier_sampling: bool = False
+    include_vd: bool = False
+
+    # z-plane bounded sampling volume (reference configs/gazenerf_options.py:24-25)
+    world_z1: float = 2.5
+    world_z2: float = -3.5
+
+    mlp_hidden: int = 384
+    mlp_layers: int = 8
+
+    # positional encoding
+    vp_n_freqs: int = 10
+    vd_n_freqs: int = 4
+    include_input_vp: bool = True
+    include_input_vd: bool = True
+
+    featmap_size: int = 64
+    featmap_nc: int = 258  # 86*3 -> enables the gaze-rotation trick
+    pred_img_size: int = 512
+    min_feat: int = 32
+
+    # compute dtype for the field MLPs / neural renderer ("float32"|"bfloat16")
+    compute_dtype: str = "float32"
+    # use the fused Pallas ray-march kernel on TPU (falls back to XLA path
+    # automatically on other backends)
+    use_pallas: bool = True
+
+    @property
+    def shape_code_dims(self) -> int:
+        return self.iden_code_dims + self.expr_code_dims
+
+    @property
+    def appea_code_dims(self) -> int:
+        return self.text_code_dims + self.illu_code_dims
+
+    @property
+    def shape_ext_code_dims(self) -> int:
+        return self.shape_code_dims + self.eye_code_dims
+
+    @property
+    def vp_embed_dims(self) -> int:
+        d = self.vp_n_freqs * 6
+        return d + 3 if self.include_input_vp else d
+
+    @property
+    def vd_embed_dims(self) -> int:
+        d = self.vd_n_freqs * 6
+        return d + 3 if self.include_input_vd else d
+
+    @property
+    def vp_channels(self) -> int:
+        # embedded position + (iden, expr, gaze) conditioning
+        return self.vp_embed_dims + self.shape_ext_code_dims
+
+    @property
+    def vd_channels(self) -> int:
+        d = self.appea_code_dims
+        if self.include_vd:
+            d += self.vd_embed_dims
+        return d
+
+    @property
+    def num_rays(self) -> int:
+        return self.featmap_size * self.featmap_size
+
+    @property
+    def n_upsample_blocks(self) -> int:
+        import math
+
+        return int(math.log2(self.pred_img_size) - math.log2(self.featmap_size))
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss-stack knobs (reference losses/gazenerf_loss.py:190-236,450-468)."""
+
+    eye_loss_importance: float = 25.0
+    vgg_importance: float = 1.0
+    use_vgg_loss: bool = True
+    use_l1_loss: bool = False
+    use_angular_loss: bool = False
+    use_patch_gan_loss: bool = False
+    is_gradual_loss: bool = False
+
+    # regularizer weights (reference losses/gazenerf_loss.py:456-468)
+    w_cam_delta: float = 0.001
+    w_iden_code: float = 0.001
+    w_expr_code: float = 1.0
+    w_appea_code: float = 0.001
+    w_bg_code: float = 0.01
+    # gaze angular scale (reference losses/gazenerf_loss.py:391)
+    angular_scale: float = 1.0 / 60000.0
+    # PatchGAN generator warm-up (reference losses/gazenerf_loss.py:394)
+    gan_warmup_steps: int = 200000
+    gan_warmup_cap: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop knobs (reference train.py:15-47, trainer/gazenerf_trainer.py)."""
+
+    lr: float = 1e-4
+    step_decay: int = 1000  # lr = lr0 * 0.1 ** (epoch / step_decay)
+    optimizer: str = "adam"
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    batch_size: int = 2
+    num_epochs: int = 75
+    seed: int = 45
+    opt_cam: bool = True
+    disc_lr_weight_decay: float = 1e-4
+
+    # per-group LR multipliers (reference trainer/gazenerf_trainer.py:463-474)
+    lr_mult_iden: float = 1.0
+    lr_mult_expr: float = 0.1
+    lr_mult_appea: float = 1.0
+    lr_mult_euler: float = 0.1
+    lr_mult_tvec: float = 0.1
+
+    checkpoint_dir: str = "checkpoints"
+    checkpoint_every: int = 1  # epochs
+    log_every: int = 300  # batches
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input-pipeline knobs (reference datasets/eth_xgaze.py:69-161)."""
+
+    dataset: str = "eth_xgaze"  # eth_xgaze | mpii_face_gaze | columbia | gaze_capture
+    img_dir: str = ""
+    num_workers: int = 2
+    prefetch: int = 2
+    img_size: int = 512
+    # frames per subject for the training split (reference datasets/eth_xgaze.py:260-267)
+    frames_per_subject: int = 900
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh / sharding layout.
+
+    The reference is single-GPU (train.py:86-88); every axis here is new,
+    TPU-first design: batch ("data") and ray-tile ("ray") sharding, gradients
+    psum'ed over ICI.
+    """
+
+    data_axis: str = "data"
+    ray_axis: str = "ray"
+    data_parallel: int = 1
+    ray_parallel: int = 1
+    # whether per-sample offset tables are sharded along the data axis
+    shard_offsets: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        return cls(
+            model=ModelConfig(**d.get("model", {})),
+            loss=LossConfig(**d.get("loss", {})),
+            train=TrainConfig(**d.get("train", {})),
+            data=DataConfig(**d.get("data", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+        )
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def small_test_config() -> Config:
+    """A tiny config for fast CPU tests (16x16 featmap, 8 samples)."""
+    return Config(
+        model=ModelConfig(
+            num_sample_coarse=8,
+            num_sample_fine=16,
+            featmap_size=16,
+            featmap_nc=258,
+            pred_img_size=64,
+            mlp_hidden=64,
+            use_pallas=False,
+        ),
+        train=TrainConfig(batch_size=2),
+    )

@@ -1,0 +1,107 @@
+"""Neural renderer: 64x64x258 feature map -> 512x512 RGB, NHWC.
+
+TPU-native re-design of the reference ``NeuralRenderer`` /
+``PixelShuffleUpsample`` (reference: models/neural_renderer.py:12-113,
+models/pixel_shuffle_upsample.py:19-42).  All convolutions are 1x1 (pointwise
+Dense over the channel dim) — large NHWC matmuls for the MXU; pixel-shuffle,
+bilinear upsample and the binomial blur are the ops in
+:mod:`gazenerf_tpu.ops.image` (torch-parity verified).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gazenerf_tpu.ops.image import blur3x3, pixel_shuffle2, upsample2x_blur
+
+
+class PixelShuffleUpsample(nn.Module):
+    """x2 spatial upsample: 1x1 convs + channel-tile residual + shuffle + blur.
+
+    Reference: models/pixel_shuffle_upsample.py:19-42.  The residual is the
+    input tiled 4x along channels (torch ``x.repeat(1, 4, 1, 1)`` == NHWC
+    ``jnp.tile(x, (..., 4))`` — same [C,C,C,C] block order).
+    """
+
+    in_feature: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.tile(x, (1, 1, 1, 4))
+        out = nn.leaky_relu(
+            nn.Dense(self.in_feature * 2, dtype=self.dtype, name="layer_1")(x),
+            negative_slope=0.2,
+        )
+        out = nn.leaky_relu(
+            nn.Dense(self.in_feature * 4, dtype=self.dtype, name="layer_2")(out),
+            negative_slope=0.2,
+        )
+        out = out + y
+        out = pixel_shuffle2(out)
+        return blur3x3(out)
+
+
+class NeuralRenderer(nn.Module):
+    """Pixel-shuffle upsampling CNN with per-scale RGB skip connections.
+
+    Reference: models/neural_renderer.py:12-113.  ``n_blocks =
+    log2(img_size / featmap_size)`` (= 3 for 64 -> 512); channel widths follow
+    ``max(feat_nc // 2**i, min_feat)``.  Owns the learnable background feature
+    map (reference ``_build_bg_featmap``, :35-52) as a parameter initialized to
+    ones (white bg) or zeros (black).
+    """
+
+    bg_type: str = "white"
+    feat_nc: int = 258
+    out_dim: int = 3
+    final_actvn: bool = True
+    min_feat: int = 32
+    featmap_size: int = 64
+    img_size: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        import math
+
+        self.n_blocks = int(math.log2(self.img_size) - math.log2(self.featmap_size))
+        widths = [
+            max(self.feat_nc // (2**i), self.min_feat)
+            for i in range(self.n_blocks + 1)
+        ]
+        self.feat_upsample_list = [
+            PixelShuffleUpsample(widths[i], dtype=self.dtype, name=f"feat_upsample_{i}")
+            for i in range(self.n_blocks)
+        ]
+        self.feat_layers = [
+            nn.Dense(widths[i + 1], dtype=self.dtype, name=f"feat_layer_{i}")
+            for i in range(self.n_blocks)
+        ]
+        self.feat_2_rgb_list = [
+            nn.Dense(self.out_dim, dtype=self.dtype, name=f"feat_2_rgb_{i}")
+            for i in range(self.n_blocks + 1)
+        ]
+        init = nn.initializers.ones if self.bg_type == "white" else nn.initializers.zeros
+        self.bg_featmap = self.param(
+            "bg_featmap",
+            init,
+            (1, self.featmap_size, self.featmap_size, self.feat_nc),
+        )
+
+    def get_bg_featmap(self) -> jnp.ndarray:
+        return self.bg_featmap
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``[B, h, w, feat_nc]`` feature map -> ``[B, H, W, 3]`` RGB."""
+        rgb = upsample2x_blur(self.feat_2_rgb_list[0](x))
+        net = x
+        for idx in range(self.n_blocks):
+            hid = self.feat_layers[idx](self.feat_upsample_list[idx](net))
+            net = nn.leaky_relu(hid, negative_slope=0.2)
+            rgb = rgb + self.feat_2_rgb_list[idx + 1](net)
+            if idx < self.n_blocks - 1:
+                rgb = upsample2x_blur(rgb)
+        if self.final_actvn:
+            rgb = nn.sigmoid(rgb)
+        return rgb
