@@ -1,0 +1,91 @@
+"""Benchmark: full-size GazeNeRF training-step throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures rays/sec through the full fwd+bwd train step (two 384-wide field
+MLPs over rays x 64 samples, volume integration, 4 neural-renderer passes,
+masked loss stack, per-group Adam) at the reference's training shape
+(batch 2, 64x64 rays, 512x512 output — reference train.py:20, README.md:29).
+
+Methodology (see PERF_NOTES.md): N steps chained through ``lax.scan`` inside
+one jit, one host sync — immune to the per-dispatch latency of this
+environment's TPU tunnel.  The baseline constant below is the reference's
+PyTorch pipeline measured on its published hardware class (A40-class GPU,
+batch 2): the repo publishes no throughput numbers (SURVEY.md §6), so
+vs_baseline uses our own measured XLA-f32 day-one number as the anchor.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Day-one anchor: f32 XLA path, scan-timed, B=2 on 1x TPU v5e (PERF_NOTES.md)
+BASELINE_RAYS_PER_SEC = 37_000.0
+
+
+def main():
+    from gazenerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    from gazenerf_tpu.data.synthetic import write_synthetic_subject
+    from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+    from gazenerf_tpu.train.trainer import Trainer
+    import tempfile
+
+    B = 2
+    cfg = Config(
+        model=ModelConfig(compute_dtype="bfloat16", remat_fields=False),
+        loss=LossConfig(use_vgg_loss=False),
+        train=TrainConfig(batch_size=B),
+    )
+
+    d = tempfile.mkdtemp()
+    write_synthetic_subject(d, num_frames=B, img_size=cfg.model.pred_img_size)
+    ds = GazeH5Dataset(d, shuffle=False)
+    batch = next(iter(BatchLoader(ds, batch_size=B, num_workers=1)))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    tr = Trainer(cfg, train_len=B, steps_per_epoch=100)
+
+    # build a scanned N-step run from the same (unjitted would be ideal; the
+    # jitted step inlines fine under scan via closure)
+    from gazenerf_tpu.train.trainer import make_train_step
+
+    step = tr.train_step
+
+    N = 20
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s2, losses = step(s, jb)
+            return s2, losses["total_loss"]
+
+        return jax.lax.scan(body, state, None, length=N)
+
+    state, losses = run(tr.state)
+    jax.block_until_ready(losses)  # compile + warm
+    t0 = time.time()
+    state, losses = run(state)
+    losses.block_until_ready()
+    np.asarray(losses[-1])  # force host sync through the tunnel
+    dt = (time.time() - t0) / N
+
+    rays = B * cfg.model.featmap_size**2
+    rays_per_sec = rays / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s (fwd+bwd, B=2, 64 samples, 1 chip)",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

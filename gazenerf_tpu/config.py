@@ -54,6 +54,10 @@ class ModelConfig:
 
     # compute dtype for the field MLPs / neural renderer ("float32"|"bfloat16")
     compute_dtype: str = "float32"
+    # rematerialize the field MLPs in the backward pass: recompute their
+    # activations per-tile instead of spilling ~10 GB of [B,R,S,384] layer
+    # activations to HBM (measured 1.2x step speedup at full size)
+    remat_fields: bool = True
     # use the fused Pallas ray-march kernel on TPU (falls back to XLA path
     # automatically on other backends)
     use_pallas: bool = True

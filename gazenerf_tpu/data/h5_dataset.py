@@ -1,0 +1,245 @@
+"""HDF5 input pipeline: per-subject files -> device-ready numpy batches.
+
+TPU re-design of the reference torch ``GazeDataset`` + ``DataLoader``
+(reference: datasets/eth_xgaze.py:206-433, loaders :69-205).  Differences:
+
+* returns plain numpy dict batches (host-side) that the trainer feeds to the
+  jitted train step; a background thread pool prefetches and decodes so the
+  TPU never waits on h5py (the reference's DataLoader-workers analogue,
+  SURVEY.md §2.8 "async data loading").
+* every batch carries the **global sample index** of each element so the
+  per-sample latent-offset tables are gathered by stable id (the reference
+  indexes offsets by ``iter * batch_size`` which is only stable because its
+  loader never reshuffles across epochs — trainer/gazenerf_trainer.py:340).
+* the four dataset variants (ETH-XGaze / MPIIFaceGaze / Columbia /
+  GazeCapture) differ only in file prefix and index policy
+  (diff-verified, SURVEY.md §2.4) — here that is a constructor argument.
+
+Mask erosion matches the reference: head mask eroded twice by a 3x3 kernel
+(datasets/eth_xgaze.py:338-339).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+DATASET_PREFIXES = {
+    "eth_xgaze": "xgaze_",
+    "mpii_face_gaze": "mpii_",
+    "columbia": "columbia_",
+    "gaze_capture": "gaze_capture_",
+}
+
+
+def _erode2(mask: np.ndarray) -> np.ndarray:
+    """3x3 erosion, 2 iterations (reference datasets/eth_xgaze.py:338-339)."""
+    if cv2 is not None:
+        return cv2.erode(mask, np.ones((3, 3), np.uint8), iterations=2)
+    # numpy fallback: min-filter twice
+    m = mask.copy()
+    for _ in range(2):
+        p = np.pad(m, 1, mode="edge")
+        windows = [
+            p[i : i + m.shape[0], j : j + m.shape[1]] for i in range(3) for j in range(3)
+        ]
+        m = np.minimum.reduce(windows)
+    return m
+
+
+class GazeH5Dataset:
+    """Index over (subject, frame) pairs across per-subject h5 files."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        subjects: Optional[Sequence[str]] = None,
+        dataset: str = "eth_xgaze",
+        split: str = "train",
+        num_val_images: int = 50,
+        frames_per_subject: Optional[int] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        fixed_index: Optional[int] = None,
+    ):
+        assert h5py is not None, "h5py required for the HDF5 pipeline"
+        self.data_dir = data_dir
+        self.prefix = DATASET_PREFIXES.get(dataset, "")
+        if subjects is None:
+            split_file = os.path.join(data_dir, "train_test_split.json")
+            if os.path.exists(split_file):
+                with open(split_file) as f:
+                    subjects = json.load(f)[split]
+            else:
+                subjects = sorted(
+                    f[len(self.prefix):]
+                    for f in os.listdir(data_dir)
+                    if f.startswith(self.prefix)
+                )
+        self.subjects = list(subjects)
+        self._files: Dict[int, h5py.File] = {}
+        self.fixed_index = fixed_index
+
+        # (subject_idx, frame_idx) pairs; ETH-XGaze train policy takes
+        # 43*18 frontal + 7*18 rear frames (reference datasets/eth_xgaze.py:260-267)
+        self.index: List[Tuple[int, int]] = []
+        for si, s in enumerate(self.subjects):
+            with h5py.File(self._path(si), "r") as f:
+                n = f["face_patch"].shape[0]
+            if split == "val":
+                take = list(range(min(num_val_images, n)))
+            elif frames_per_subject is not None and n > frames_per_subject:
+                front = min(43 * 18, n)
+                back = min(7 * 18, n - front)
+                take = list(range(front)) + list(range(n - 1, n - 1 - back, -1))
+            else:
+                take = list(range(n))
+            self.index += [(si, i) for i in take]
+
+        if shuffle:
+            np.random.default_rng(seed).shuffle(self.index)
+
+    def _path(self, subject_idx: int) -> str:
+        return os.path.join(self.data_dir, self.prefix + self.subjects[subject_idx])
+
+    def _file(self, subject_idx: int) -> "h5py.File":
+        f = self._files.get(subject_idx)
+        if f is None:
+            f = h5py.File(self._path(subject_idx), "r", swmr=True)
+            self._files[subject_idx] = f
+        return f
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.fixed_index is not None:
+            idx = self.fixed_index
+        si, fi = self.index[idx]
+        h = self._file(si)
+
+        img = h["face_patch"][fi][:, :, ::-1]  # BGR->RGB (reference :331)
+        img = img.astype(np.float32) / 255.0
+
+        head_mask = _erode2(h["head_mask"][fi])
+        sample = {
+            "image": img,
+            "head_mask": head_mask.astype(np.float32) / 255.0,
+            "left_eye_mask": h["left_eye_mask"][fi].astype(np.float32) / 255.0,
+            "right_eye_mask": h["right_eye_mask"][fi].astype(np.float32) / 255.0,
+            "landmarks": h["facial_landmarks"][fi].astype(np.float32),
+            "cam_index": np.asarray(h["cam_index"][fi]).reshape(-1)[:1],
+            "pitchyaw": h["pitchyaw_head"][fi].astype(np.float32),
+            "head_pose": h["face_head_pose"][fi].astype(np.float32),
+            "c2w_Rmat": h["c2w_Rmat"][fi].astype(np.float32),
+            "c2w_Tvec": h["c2w_Tvec"][fi].astype(np.float32),
+            "w2c_Rmat": h["w2c_Rmat"][fi].astype(np.float32),
+            "w2c_Tvec": h["w2c_Tvec"][fi].astype(np.float32),
+            "inmat": h["inmat"][fi].astype(np.float32),
+            "sample_idx": np.asarray(idx, np.int64),
+        }
+        # identity/expr/texture frozen to frame 0, per-frame illumination tail
+        # (reference datasets/eth_xgaze.py:346-347)
+        code = np.array(h["latent_codes"][0], np.float32)
+        code[279:] = h["latent_codes"][fi][279:]
+        sample["code"] = code
+        return sample
+
+    def valid_mask_sample(self, sample: Dict[str, np.ndarray]) -> bool:
+        """Degenerate-mask guard (reference trainer/gazenerf_trainer.py:556-567)."""
+        hm = sample["head_mask"]
+        lm, rm = sample["left_eye_mask"], sample["right_eye_mask"]
+        return (hm.max() != hm.min()) and not (
+            lm.max() == lm.min() and rm.max() == rm.min()
+        )
+
+
+def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class BatchLoader:
+    """Threaded prefetching batch iterator over a :class:`GazeH5Dataset`.
+
+    Skips batches that contain degenerate masks (matching the reference's
+    per-batch guard) when ``skip_invalid`` is set.
+    """
+
+    def __init__(
+        self,
+        dataset: GazeH5Dataset,
+        batch_size: int,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        skip_invalid: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.skip_invalid = skip_invalid
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.batch_size
+        if not self.drop_last and len(self.ds) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.ds)
+        batches = [
+            list(range(i, min(i + self.batch_size, n)))
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.ds[i] for i in b]
+                    if self.skip_invalid and not all(
+                        self.ds.valid_mask_sample(s) for s in samples
+                    ):
+                        continue
+                    q.put(_collate(samples))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -54,7 +54,8 @@ class GazeNeRF(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
-        field = lambda name: NeRFFieldMLP(  # noqa: E731
+        field_cls = nn.remat(NeRFFieldMLP) if cfg.remat_fields else NeRFFieldMLP
+        field = lambda name: field_cls(  # noqa: E731
             embed_dims=cfg.vp_embed_dims,
             cond_dims=cfg.shape_ext_code_dims,
             vd_cond_dims=cfg.vd_channels,

@@ -1,0 +1,391 @@
+"""The GazeNeRF trainer: jitted train step + host-side epoch loop.
+
+TPU re-design of the reference ``GazeNerfTrainer``
+(reference: trainer/gazenerf_trainer.py:40-708, base loop trainer/base.py:133-167).
+Everything inside :func:`make_train_step` is one jitted, shardable function:
+
+* code composition ``base + offset[sample_idx]`` (reference
+  ``build_code_and_cam`` :338-405) with the offsets gathered from dense
+  per-sample tables by global id,
+* camera perturbation ``R = dR(euler) @ R_base``, ``T = dR @ T_base + dT``,
+* intrinsics rescale 512 -> featmap + analytic inverse (reference :317-328),
+* forward render (stratified jitter keyed off the state PRNG),
+* full loss stack + optional discriminator update,
+* per-group Adam with the reference's per-epoch LR decay.
+
+Host side: :class:`Trainer` drives epochs over a :class:`BatchLoader`,
+accumulates CSV summaries, and checkpoints via orbax.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gazenerf_tpu.config import Config
+from gazenerf_tpu.losses.gazenerf_loss import compute_losses, discriminator_loss
+from gazenerf_tpu.models.discriminator import PatchGAN
+from gazenerf_tpu.models.gaze_nerf import GazeNeRF
+from gazenerf_tpu.models.vgg import GazeVGG, VGG16Features, normalize_imagenet
+from gazenerf_tpu.ops.image import resize_bilinear
+from gazenerf_tpu.ops.rays import pixel_grid
+from gazenerf_tpu.ops.rotation import euler_to_rotation
+from gazenerf_tpu.train import state as state_lib
+from gazenerf_tpu.train.state import TrainState
+
+
+def scale_intrinsics_jnp(inmat: jnp.ndarray, img_size: int, featmap_size: int):
+    """jnp twin of data.cameras.scale_intrinsics_to_featmap (reference :317-325)."""
+    s = featmap_size / img_size
+    t = inmat.at[..., :2, :].multiply(s)
+    inv = jnp.zeros_like(t)
+    inv = inv.at[..., 0, 0].set(1.0 / t[..., 0, 0])
+    inv = inv.at[..., 1, 1].set(1.0 / t[..., 1, 1])
+    inv = inv.at[..., 0, 2].set(-(t[..., 0, 2] / t[..., 0, 0]))
+    inv = inv.at[..., 1, 2].set(-(t[..., 1, 2] / t[..., 1, 1]))
+    inv = inv.at[..., 2, 2].set(1.0)
+    return inv
+
+
+def compose_codes_and_cams(
+    cfg: Config,
+    batch: Dict[str, jnp.ndarray],
+    offsets: Dict[str, jnp.ndarray],
+    expr_fix: jnp.ndarray,
+):
+    """Reference ``prepare_data`` + ``build_code_and_cam`` (:250-405), jit-safe."""
+    m = cfg.model
+    code = batch["code"]
+    idx = batch["sample_idx"]
+    iden_off = offsets["iden"][idx]
+    expr_off = offsets["expr"][idx]
+    appea_off = offsets["appea"][idx]
+    euler_off = offsets["euler"][idx]
+    tvec_off = offsets["tvec"][idx]
+
+    base_iden = code[:, : m.iden_code_dims]
+    base_text = code[:, m.shape_code_dims : m.shape_code_dims + m.text_code_dims]
+    base_illu = code[:, m.shape_code_dims + m.text_code_dims :]
+
+    # expression frozen to the shared fix vector (reference :305-310)
+    shape_code = jnp.concatenate(
+        [base_iden + iden_off, expr_fix[None] + expr_off], axis=-1
+    )
+    appea_code = jnp.concatenate([base_text, base_illu], axis=-1) + appea_off
+    gaze_code = batch["pitchyaw"]
+
+    dR = euler_to_rotation(euler_off)
+    Rmats = jnp.einsum("bij,bjk->bik", dR, batch["c2w_Rmat"], precision="highest")
+    Tvecs = (
+        jnp.einsum(
+            "bij,bj->bi", dR, batch["c2w_Tvec"], precision="highest"
+        )[..., None]
+        + tvec_off
+    )
+    inv_inmats = scale_intrinsics_jnp(
+        batch["inmat"], cfg.model.pred_img_size, cfg.model.featmap_size
+    )
+
+    opt_code_dict = {"bg": None, "iden": iden_off, "expr": expr_off, "appea": appea_off}
+    delta_cam = {"delta_eulur": euler_off, "delta_tvec": tvec_off}
+    return shape_code, appea_code, gaze_code, Rmats, Tvecs, inv_inmats, opt_code_dict, delta_cam
+
+
+class FrozenNets:
+    """Frozen perceptual nets (VGG16 blocks, gaze estimator) + their params.
+
+    Params default to random init (architecture-faithful); transplant real
+    weights with utils.transplant/models.vgg loaders for numeric parity with
+    the reference's pretrained checkpoints.
+    """
+
+    def __init__(self, cfg: Config, rng: jax.Array):
+        self.cfg = cfg
+        self.vgg = None
+        self.vgg_params = None
+        self.gaze = None
+        self.gaze_params = None
+        if cfg.loss.use_vgg_loss:
+            self.vgg = VGG16Features()
+            k = jax.random.normal(rng, (1, 224, 224, 3))
+            self.vgg_params = jax.jit(self.vgg.init)(rng, k)
+        if cfg.loss.use_angular_loss:
+            self.gaze = GazeVGG()
+            k = jax.random.normal(rng, (1, 224, 224, 3))
+            self.gaze_params = jax.jit(self.gaze.init)(rng, k)
+
+    def vgg_capture_fn(self):
+        if self.vgg is None:
+            return None
+        params = self.vgg_params
+        return lambda x: self.vgg.apply(params, x)[0]
+
+    def gaze_fn(self):
+        if self.gaze is None:
+            return None
+        params = self.gaze_params
+        return lambda x: self.gaze.apply(params, x)
+
+
+def make_train_step(
+    cfg: Config,
+    model: GazeNeRF,
+    optimizer,
+    frozen: FrozenNets,
+    expr_fix: np.ndarray,
+    disc: Optional[PatchGAN] = None,
+    disc_optimizer=None,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Build the jitted train step (loss + grads + per-group Adam update)."""
+    m = cfg.model
+    xy_grid = np.asarray(pixel_grid(m.featmap_size))
+    expr_fix = jnp.asarray(expr_fix, jnp.float32)
+    bg_value = 1.0 if m.bg_type == "white" else 0.0
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        B = batch["image"].shape[0]
+        xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        gt = batch["image"]
+        hm = batch["head_mask"][..., None]
+        lm = batch["left_eye_mask"][..., None]
+        rm = batch["right_eye_mask"][..., None]
+
+        # -- optional discriminator update on detached predictions ----------
+        disc_fn = None
+        new_disc_params = state.disc_params
+        new_disc_stats = state.disc_batch_stats
+        new_disc_opt = state.disc_opt_state
+        if disc is not None and cfg.loss.use_patch_gan_loss:
+            # render once (no grad) for the disc step (reference :489-508)
+            trainable0 = state_lib.trainable_tree(state)
+            sc0, ac0, gz0, R0, T0, K0, _, _ = compose_codes_and_cams(
+                cfg, batch, state.offsets, expr_fix
+            )
+            pred0 = model.apply(
+                {"params": state.params}, xy, sc0, ac0, gz0, R0, T0, K0,
+                train=True, rngs={"sampling": rng},
+            )
+            fake_img = jax.lax.stop_gradient(
+                resize_bilinear(pred0["coarse_dict"]["merge_img"], (224, 224))
+            )
+            nonhead3 = jnp.broadcast_to(hm < 0.5, gt.shape)
+            real_img = resize_bilinear(jnp.where(nonhead3, 1.0, gt), (224, 224))
+
+            def disc_loss_fn(dp):
+                real_logits, vars1 = disc.apply(
+                    {"params": dp, "batch_stats": state.disc_batch_stats},
+                    real_img, train=True, mutable=["batch_stats"],
+                )
+                fake_logits, vars2 = disc.apply(
+                    {"params": dp, "batch_stats": vars1["batch_stats"]},
+                    fake_img, train=True, mutable=["batch_stats"],
+                )
+                return (
+                    discriminator_loss(real_logits, fake_logits),
+                    vars2["batch_stats"],
+                )
+
+            (d_loss, new_disc_stats), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True
+            )(state.disc_params)
+            d_updates, new_disc_opt = disc_optimizer.update(
+                d_grads, state.disc_opt_state, state.disc_params
+            )
+            new_disc_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.disc_params, d_updates
+            )
+
+            dp, ds = new_disc_params, new_disc_stats
+            disc_fn = lambda img: disc.apply(  # noqa: E731
+                {"params": dp, "batch_stats": ds}, img, train=False
+            )
+
+        # -- generator / main update ---------------------------------------
+        def loss_fn(trainable):
+            sc, ac, gz, R, T, K, opt_code_dict, delta_cam = compose_codes_and_cams(
+                cfg, batch, {k: trainable[k] for k in state.offsets}, expr_fix
+            )
+            pred = model.apply(
+                {"params": trainable["net"]}, xy, sc, ac, gz, R, T, K,
+                train=True, rngs={"sampling": rng},
+            )
+            losses = compute_losses(
+                cfg.loss, pred, gt, hm, lm, rm,
+                bg_value=bg_value,
+                vgg_capture_fn=frozen.vgg_capture_fn(),
+                gaze_fn=frozen.gaze_fn(),
+                disc_fn=disc_fn,
+                opt_code_dict=opt_code_dict,
+                delta_cam=delta_cam,
+                step=state.step,
+            )
+            return losses["total_loss"], losses
+
+        trainable = state_lib.trainable_tree(state)
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, trainable)
+        new_trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
+
+        new_state = state_lib.apply_trainable(state, new_trainable).replace(
+            step=state.step + 1,
+            opt_state=new_opt_state,
+            disc_params=new_disc_params,
+            disc_batch_stats=new_disc_stats,
+            disc_opt_state=new_disc_opt,
+        )
+        return new_state, losses
+
+    if donate:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn)
+
+
+def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
+    """Jitted forward render + per-region L2 metrics (no update).
+
+    Mirrors the reference's eval loop body (trainer/gazenerf_trainer.py:601-708).
+    """
+    m = cfg.model
+    xy_grid = np.asarray(pixel_grid(m.featmap_size))
+    expr_fix_j = jnp.asarray(expr_fix, jnp.float32)
+
+    @jax.jit
+    def eval_fn(state: TrainState, batch):
+        B = batch["image"].shape[0]
+        xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
+        sc, ac, gz, R, T, K, _, _ = compose_codes_and_cams(
+            cfg, batch, state.offsets, expr_fix_j
+        )
+        pred = model.apply({"params": state.params}, xy, sc, ac, gz, R, T, K)
+        img = pred["coarse_dict"]["merge_img"]
+        gt = batch["image"]
+        mse = jnp.mean((img - gt) ** 2)
+        psnr = -10.0 * jnp.log10(mse + 1e-10)
+        return {"mse": mse, "psnr": psnr}, img
+
+    return eval_fn
+
+
+class Trainer:
+    """Host-side driver: epochs, logging, checkpointing.
+
+    Reference twin: trainer/base.py:133-167 + gazenerf_trainer.py:536-599.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_len: int,
+        steps_per_epoch: int,
+        expr_fix: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        seed = cfg.train.seed if seed is None else seed
+        self.model = GazeNeRF(cfg.model)
+        rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng, frozen_rng = jax.random.split(rng, 3)
+        self.expr_fix = (
+            np.zeros(cfg.model.expr_code_dims, np.float32)
+            if expr_fix is None
+            else np.asarray(expr_fix, np.float32)
+        )
+
+        m = cfg.model
+        B = cfg.train.batch_size
+        xy = jnp.zeros((B, m.num_rays, 2))
+        dummy = (
+            xy,
+            jnp.zeros((B, m.shape_code_dims)),
+            jnp.zeros((B, m.appea_code_dims)),
+            jnp.zeros((B, 2)),
+            jnp.zeros((B, 3, 3)),
+            jnp.zeros((B, 3, 1)),
+            jnp.zeros((B, 3, 3)),
+        )
+        params = jax.jit(self.model.init)({"params": init_rng}, *dummy)["params"]
+
+        self.frozen = FrozenNets(cfg, frozen_rng)
+        self.optimizer = state_lib.make_optimizer(cfg.train, steps_per_epoch)
+        offsets = state_lib.make_offsets(train_len)
+        trainable = {"net": params, **offsets}
+        opt_state = self.optimizer.init(trainable)
+
+        disc = disc_opt = None
+        disc_params = disc_stats = disc_opt_state = None
+        if cfg.loss.use_patch_gan_loss:
+            disc = PatchGAN()
+            dvars = jax.jit(disc.init, static_argnames=("train",))(
+                {"params": frozen_rng}, jnp.zeros((B, 224, 224, 3)), train=True
+            )
+            disc_params = dvars["params"]
+            disc_stats = dvars["batch_stats"]
+            disc_opt = state_lib.make_disc_optimizer(cfg.train)
+            disc_opt_state = disc_opt.init(disc_params)
+        self.disc = disc
+
+        self.state = TrainState(
+            step=jnp.asarray(0),
+            params=params,
+            offsets=offsets,
+            opt_state=opt_state,
+            rng=self.rng,
+            disc_params=disc_params,
+            disc_batch_stats=disc_stats,
+            disc_opt_state=disc_opt_state,
+        )
+        self.train_step = make_train_step(
+            cfg, self.model, self.optimizer, self.frozen, self.expr_fix,
+            disc=disc, disc_optimizer=disc_opt,
+        )
+        self.eval_step = make_eval_step(cfg, self.model, self.expr_fix)
+        self.history = []
+
+    def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
+        total, n = 0.0, 0
+        t0 = time.time()
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, losses = self.train_step(self.state, jb)
+            total += float(losses["total_loss"])
+            n += 1
+        dt = time.time() - t0
+        summary = {
+            "epoch": epoch,
+            "loss": total / max(n, 1),
+            "batches": n,
+            "seconds": dt,
+        }
+        self.history.append(summary)
+        return summary
+
+    def fit(self, loader, num_epochs: int, checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 1):
+        from gazenerf_tpu.train.checkpoint import save_checkpoint
+
+        for epoch in range(num_epochs):
+            summary = self.train_epoch(loader, epoch)
+            if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
+                save_checkpoint(checkpoint_dir, self.state, self.cfg, epoch)
+        return self.history
+
+    def save_summary_csv(self, path: str):
+        """CSV summaries (reference trainer/base.py:37-58)."""
+        import csv
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if not self.history:
+            return
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(self.history[0]))
+            w.writeheader()
+            w.writerows(self.history)

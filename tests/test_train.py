@@ -1,0 +1,171 @@
+"""End-to-end training tests on synthetic data (tiny config, CPU).
+
+Covers BASELINE config 4 at test scale: full loss stack, per-sample offset
+tables, per-group Adam, checkpoint/resume, and the degenerate-mask guard.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gazenerf_tpu.config import (
+    Config,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+from gazenerf_tpu.data.synthetic import write_synthetic_subject
+from gazenerf_tpu.train.trainer import Trainer
+
+
+def tiny_config(**loss_kw) -> Config:
+    return Config(
+        model=ModelConfig(
+            num_sample_coarse=8,
+            featmap_size=16,
+            pred_img_size=64,
+            mlp_hidden=32,
+            use_pallas=False,
+        ),
+        loss=LossConfig(use_vgg_loss=False, **loss_kw),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    write_synthetic_subject(str(d), num_frames=6, img_size=64)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def loader_and_ds(synth_dir):
+    ds = GazeH5Dataset(synth_dir, shuffle=False)
+    loader = BatchLoader(ds, batch_size=2, num_workers=1)
+    return loader, ds
+
+
+def test_dataset_schema(loader_and_ds):
+    loader, ds = loader_and_ds
+    assert len(ds) == 6
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["image"].dtype == np.float32
+    assert 0.0 <= batch["image"].min() and batch["image"].max() <= 1.0
+    assert batch["head_mask"].shape == (2, 64, 64)
+    assert batch["code"].shape == (2, 306)
+    assert batch["sample_idx"].tolist() == [0, 1]
+    assert batch["inmat"].shape == (2, 3, 3)
+
+
+def test_train_loss_decreases(loader_and_ds):
+    loader, ds = loader_and_ds
+    cfg = tiny_config()
+    # image size mismatch: synthetic files are 64 px, model pred is 64 -> ok
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    first = tr.train_epoch(loader, 0)
+    for e in range(1, 4):
+        last = tr.train_epoch(loader, e)
+    assert np.isfinite(first["loss"]) and np.isfinite(last["loss"])
+    assert last["loss"] < first["loss"], (first, last)
+    # offsets received updates
+    assert float(jnp.abs(tr.state.offsets["iden"]).max()) > 0.0
+    assert float(jnp.abs(tr.state.offsets["euler"]).max()) > 0.0
+    assert int(tr.state.step) == 4 * len(loader)
+
+
+def test_offsets_only_touch_seen_rows(loader_and_ds):
+    """Rows never gathered must keep exactly their Adam-zero-grad trajectory.
+
+    With zero grad Adam still bias-corrects, so untouched rows stay 0 only at
+    the *gradient* level; verify gathered rows moved strictly more.
+    """
+    loader, ds = loader_and_ds
+    cfg = tiny_config()
+    tr = Trainer(cfg, train_len=len(ds) + 4, steps_per_epoch=len(loader))
+    tr.train_epoch(loader, 0)
+    iden = np.asarray(tr.state.offsets["iden"])
+    seen = np.abs(iden[: len(ds)]).max()
+    unseen = np.abs(iden[len(ds) :]).max()
+    assert seen > unseen
+
+
+def test_checkpoint_roundtrip(loader_and_ds, tmp_path):
+    from gazenerf_tpu.train.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    loader, ds = loader_and_ds
+    cfg = tiny_config()
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    tr.train_epoch(loader, 0)
+    path = save_checkpoint(str(tmp_path / "ck"), tr.state, cfg, epoch=0)
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
+
+    tr2 = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    state2, cfg2, epoch = load_checkpoint(path, tr2.state)
+    assert epoch == 0
+    assert cfg2.model.featmap_size == cfg.model.featmap_size
+    np.testing.assert_array_equal(
+        np.asarray(state2.offsets["iden"]), np.asarray(tr.state.offsets["iden"])
+    )
+    leaves1 = jax.tree_util.tree_leaves(tr.state.params)
+    leaves2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed training continues
+    tr2.state = state2
+    out = tr2.train_epoch(loader, 1)
+    assert np.isfinite(out["loss"])
+
+
+def test_vgg_loss_path(loader_and_ds):
+    """VGG perceptual path (random weights) runs and produces finite grads."""
+    loader, ds = loader_and_ds
+    cfg = Config(
+        model=tiny_config().model,
+        loss=LossConfig(use_vgg_loss=True),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    out = tr.train_epoch(loader, 0)
+    assert np.isfinite(out["loss"])
+
+
+def test_patch_gan_path(loader_and_ds):
+    """GAN path: discriminator updates + generator warm-up loss."""
+    loader, ds = loader_and_ds
+    cfg = Config(
+        model=tiny_config().model,
+        loss=LossConfig(use_vgg_loss=False, use_patch_gan_loss=True),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    d0 = jax.tree_util.tree_leaves(tr.state.disc_params)[0].copy()
+    out = tr.train_epoch(loader, 0)
+    assert np.isfinite(out["loss"])
+    d1 = jax.tree_util.tree_leaves(tr.state.disc_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_degenerate_mask_batch_skipped(synth_dir, tmp_path):
+    """Batches with constant masks are skipped (reference guard :556-567)."""
+    import h5py
+
+    d = str(tmp_path / "bad")
+    path = write_synthetic_subject(d, num_frames=4, img_size=64)
+    with h5py.File(path, "r+") as f:
+        f["head_mask"][1] = 0  # degenerate
+    ds = GazeH5Dataset(d, shuffle=False)
+    loader = BatchLoader(ds, batch_size=2, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 1  # first batch (with frame 1) dropped
