@@ -1,0 +1,194 @@
+"""Tests for fitting loops, metrics, render loops and evaluation protocols."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gazenerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+from gazenerf_tpu.data.synthetic import write_synthetic_subject
+from gazenerf_tpu.eval import metrics as M
+from gazenerf_tpu.eval.protocols import (
+    EvalContext,
+    evaluate_consistency,
+    evaluate_gaze_transfer,
+    evaluate_input_target_images,
+)
+from gazenerf_tpu.eval.render_loops import RenderLoops, gaze_sweep_trajectory
+from gazenerf_tpu.train.trainer import Trainer
+
+
+def tiny_config() -> Config:
+    return Config(
+        model=ModelConfig(
+            num_sample_coarse=8, featmap_size=16, pred_img_size=64,
+            mlp_hidden=32, use_pallas=False,
+        ),
+        loss=LossConfig(use_vgg_loss=False),
+        train=TrainConfig(batch_size=1, lr=1e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth_eval")
+    write_synthetic_subject(str(d), num_frames=4, img_size=64)
+    ds = GazeH5Dataset(str(d), shuffle=False)
+    loader = BatchLoader(ds, batch_size=1, num_workers=1)
+    batches = list(loader)
+    cfg = tiny_config()
+    tr = Trainer(cfg, train_len=1, steps_per_epoch=1)
+    ctx = EvalContext.build(
+        cfg, tr.model, tr.state, tr.frozen, tr.expr_fix, fit_steps=10
+    )
+    return cfg, tr, ctx, batches
+
+
+# ---------------- metrics golden tests ----------------
+
+
+def test_psnr_ssim_l1_basics(rng):
+    a = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(M.ssim(a, a)), [1.0, 1.0], atol=1e-5)
+    assert np.all(np.asarray(M.psnr(a, a)) > 100)
+    np.testing.assert_allclose(np.asarray(M.l1(a, a)), [0.0, 0.0], atol=1e-7)
+    b = jnp.clip(a + 0.1, 0, 1)
+    assert np.all(np.asarray(M.ssim(a, b)) < 1.0)
+    assert np.all(np.asarray(M.psnr(a, b)) < 30)
+
+
+def test_ssim_matches_torch_impl(rng):
+    """Cross-check our SSIM against an independent torch implementation."""
+    import torch.nn.functional as F
+
+    a = rng.random((1, 40, 40, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    ours = float(M.ssim(jnp.asarray(a), jnp.asarray(b))[0])
+
+    x = np.arange(11) - 5.0
+    g = np.exp(-(x**2) / (2 * 1.5**2))
+    g /= g.sum()
+    k = torch.from_numpy(np.outer(g, g).astype(np.float32)).view(1, 1, 11, 11)
+    ta = torch.from_numpy(a.transpose(0, 3, 1, 2))
+    tb = torch.from_numpy(b.transpose(0, 3, 1, 2))
+    mu_a = F.conv2d(ta, k)
+    mu_b = F.conv2d(tb, k)
+    sa = F.conv2d(ta * ta, k) - mu_a**2
+    sb = F.conv2d(tb * tb, k) - mu_b**2
+    sab = F.conv2d(ta * tb, k) - mu_a * mu_b
+    c1, c2 = 0.01**2, 0.03**2
+    s = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (sa + sb + c2)
+    )
+    np.testing.assert_allclose(ours, float(s.mean()), atol=1e-5)
+
+
+def test_frechet_distance_properties(rng):
+    a = rng.standard_normal((200, 16)).astype(np.float64)
+    assert abs(M.frechet_distance(a, a.copy())) < 1e-6
+    b = a + 3.0
+    fid = M.frechet_distance(a, b)
+    assert fid > 100  # mean shift of 3 in 16 dims -> ||diff||^2 = 144
+
+
+def test_identity_similarity(rng):
+    embed = lambda img: jnp.mean(img, axis=(1, 2))  # noqa: E731
+    a = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    sim = M.identity_similarity(embed, a, a)
+    np.testing.assert_allclose(np.asarray(sim), [1.0, 1.0], atol=1e-6)
+
+
+# ---------------- fitting ----------------
+
+
+def test_fit_single_image_reduces_loss(setup):
+    cfg, tr, ctx, batches = setup
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state, losses = ctx.fit(tr.state, b)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # offsets at row 0 moved
+    assert float(jnp.abs(state.offsets["iden"][0]).max()) > 0
+
+
+def test_predict_with_gaze_override(setup):
+    cfg, tr, ctx, batches = setup
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    img0 = ctx.predict(tr.state, b)
+    img1 = ctx.predict(tr.state, b, jnp.asarray([0.4, -0.4], jnp.float32))
+    assert img0.shape == (1, 64, 64, 3)
+    assert not np.allclose(np.asarray(img0), np.asarray(img1))
+
+
+def test_optimize_gaze_runs(setup):
+    cfg, tr, ctx, batches = setup
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    gaze, loss, steps = ctx.optimize_gaze(tr.state, b, jnp.zeros(2))
+    assert np.isfinite(float(loss))
+    assert gaze.shape == (2,)
+    assert int(steps) >= 1
+
+
+# ---------------- protocols ----------------
+
+
+def test_input_target_protocol(setup):
+    cfg, tr, ctx, batches = setup
+    pairs = [
+        {"input": batches[0], "target": batches[1]},
+        {"input": batches[2], "target": batches[3]},
+    ]
+    res = evaluate_input_target_images(ctx, pairs)
+    for k in ("ssim", "psnr", "l1"):
+        assert np.isfinite(res[k]), res
+    assert res["num_pairs"] == 2
+
+
+def test_consistency_protocol(setup):
+    cfg, tr, ctx, batches = setup
+    res = evaluate_consistency(ctx, batches[:1], pitch_shifts_deg=(10.0,))
+    assert "shift_10deg_response" in res
+    assert np.isfinite(res["shift_10deg_response"])
+
+
+def test_gaze_transfer_protocol(setup):
+    cfg, tr, ctx, batches = setup
+    res = evaluate_gaze_transfer(ctx, batches[0], batches[1])
+    assert res["transferred_image"].shape == (64, 64, 3)
+    assert np.isfinite(res["opt_loss"])
+
+
+# ---------------- render loops ----------------
+
+
+def test_render_loops(setup, tmp_path):
+    cfg, tr, ctx, batches = setup
+    loops = RenderLoops(cfg.model, view_num=4)
+    sc = jnp.zeros((1, 179))
+    ac = jnp.zeros((1, 127))
+    params = {"params": tr.state.params}
+    frames = loops.render_novel_views(params, sc, ac)
+    assert len(frames) == 4
+    assert frames[0].shape == (64, 64, 3) and frames[0].dtype == np.uint8
+    traj = gaze_sweep_trajectory()
+    assert len(traj) == 11 + 11 + 11 + 11
+    sweep = loops.render_gaze_sweep(params, sc, ac)
+    assert len(sweep) == len(traj)
+    from gazenerf_tpu.eval.render_loops import save_gif
+
+    save_gif(str(tmp_path / "test.gif"), frames)
+    assert (tmp_path / "test.gif").stat().st_size > 0
+
+
+def test_gaze_resnet_estimator(rng):
+    from gazenerf_tpu.models.resnet import GazeResNet
+
+    net = GazeResNet()
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    gaze, head = net.apply(variables, x)
+    assert gaze.shape == (1, 2) and head.shape == (1, 2)
