@@ -36,7 +36,7 @@ def main():
 
     B = 2
     cfg = Config(
-        model=ModelConfig(compute_dtype="bfloat16", remat_fields=False),
+        model=ModelConfig(compute_dtype="bfloat16", renderer_dtype="bfloat16", remat_fields=False),
         loss=LossConfig(use_vgg_loss=False),
         train=TrainConfig(batch_size=B),
     )

@@ -52,8 +52,13 @@ class ModelConfig:
     pred_img_size: int = 512
     min_feat: int = 32
 
-    # compute dtype for the field MLPs / neural renderer ("float32"|"bfloat16")
+    # compute dtype for the field MLPs ("float32"|"bfloat16")
     compute_dtype: str = "float32"
+    # compute dtype for the neural renderer. bf16 is ~15% faster end-to-end
+    # inside the full training step, but in some isolated compilation contexts
+    # the bf16 pixel-shuffle transposes hit a pathological Mosaic lowering
+    # (200x; see PERF_NOTES.md) -- default f32 for safety, bench uses bf16.
+    renderer_dtype: str = "float32"
     # rematerialize the field MLPs in the backward pass: recompute their
     # activations per-tile instead of spilling ~10 GB of [B,R,S,384] layer
     # activations to HBM (measured 1.2x step speedup at full size)

@@ -69,6 +69,9 @@ class GazeNeRF(nn.Module):
         self.fg_CD_predictor_eyes = field("fg_CD_predictor_eyes")
         if cfg.hier_sampling:
             self.fine_fg_CD_predictor = field("fine_fg_CD_predictor")
+        ren_dtype = (
+            jnp.bfloat16 if cfg.renderer_dtype == "bfloat16" else jnp.float32
+        )
         self.neural_render = NeuralRenderer(
             bg_type=cfg.bg_type,
             feat_nc=cfg.featmap_nc,
@@ -77,7 +80,7 @@ class GazeNeRF(nn.Module):
             min_feat=cfg.min_feat,
             featmap_size=cfg.featmap_size,
             img_size=cfg.pred_img_size,
-            dtype=dtype,
+            dtype=ren_dtype,
             name="neural_render",
         )
 
