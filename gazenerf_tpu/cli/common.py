@@ -1,0 +1,89 @@
+"""Shared CLI plumbing: argparse helpers, seeding, config assembly.
+
+TPU twin of the reference's per-script argparse + determinism boilerplate
+(reference: train.py:15-64, evaluate_metrics.py:21-55).  Fixes the
+reference's ``type=bool`` footgun (any non-empty string parsed True) with a
+real boolean parser, and replaces global-RNG seeding with explicit JAX keys.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+from gazenerf_tpu.config import (
+    Config,
+    DataConfig,
+    LossConfig,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--img_dir", type=str, default="", help="per-subject h5 dir")
+    p.add_argument("--dataset", type=str, default="eth_xgaze",
+                   choices=["eth_xgaze", "mpii_face_gaze", "columbia", "gaze_capture"])
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--step_decay", type=int, default=1000)
+    p.add_argument("--num_epochs", type=int, default=75)
+    p.add_argument("--seed", type=int, default=45)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--resume", type=str, default="", help="checkpoint path")
+    p.add_argument("--use_vgg_loss", type=str2bool, default=True)
+    p.add_argument("--use_l1_loss", type=str2bool, default=False)
+    p.add_argument("--use_angular_loss", type=str2bool, default=False)
+    p.add_argument("--use_patch_gan_loss", type=str2bool, default=False)
+    p.add_argument("--eye_loss_importance", type=float, default=25.0)
+    p.add_argument("--vgg_importance", type=float, default=1.0)
+    p.add_argument("--hier_sampling", type=str2bool, default=False)
+    p.add_argument("--include_vd", type=str2bool, default=False)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--renderer_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--log", type=str2bool, default=False, help="wandb logging")
+
+
+def config_from_args(args) -> Config:
+    return Config(
+        model=ModelConfig(
+            hier_sampling=args.hier_sampling,
+            include_vd=args.include_vd,
+            compute_dtype=args.compute_dtype,
+            renderer_dtype=args.renderer_dtype,
+        ),
+        loss=LossConfig(
+            eye_loss_importance=args.eye_loss_importance,
+            vgg_importance=args.vgg_importance,
+            use_vgg_loss=args.use_vgg_loss,
+            use_l1_loss=args.use_l1_loss,
+            use_angular_loss=args.use_angular_loss,
+            use_patch_gan_loss=args.use_patch_gan_loss,
+        ),
+        train=TrainConfig(
+            lr=args.lr,
+            step_decay=args.step_decay,
+            batch_size=args.batch_size,
+            num_epochs=args.num_epochs,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        ),
+        data=DataConfig(
+            dataset=args.dataset,
+            img_dir=args.img_dir,
+            num_workers=args.num_workers,
+        ),
+    )

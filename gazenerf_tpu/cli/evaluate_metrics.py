@@ -1,0 +1,112 @@
+"""``python -m gazenerf_tpu.cli.evaluate_metrics`` — metric-protocol dispatcher.
+
+TPU twin of the reference ``evaluate_metrics.py`` (reference:
+evaluate_metrics.py:57-213): loads a checkpoint + frozen estimator and runs
+one of the four quantitative protocols over (input, target) pairs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gazenerf_tpu.cli.common import add_common_args, config_from_args
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+from gazenerf_tpu.eval.protocols import (
+    EvalContext,
+    evaluate_consistency,
+    evaluate_gaze_transfer,
+    evaluate_input_target_images,
+)
+from gazenerf_tpu.train.checkpoint import load_checkpoint
+from gazenerf_tpu.train.trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+def build_estimator(ckpt_path: str):
+    """Frozen ResNet50 gaze estimator (reference evaluate_metrics.py:131-136).
+
+    With no checkpoint the estimator is skipped (angular metrics omitted).
+    """
+    if not ckpt_path:
+        return None
+    import torch
+
+    from gazenerf_tpu.models.resnet import GazeResNet, gaze_resnet_from_torch
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    sd = sd.get("model_state", sd)
+    variables = gaze_resnet_from_torch({k: v.numpy() for k, v in sd.items()})
+    net = GazeResNet()
+    return jax.jit(lambda img: net.apply(variables, img))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Run evaluation protocols")
+    add_common_args(p)
+    p.add_argument(
+        "--evaluation_type", type=str, default="input_target_images",
+        choices=["input_target_images", "consistency", "gaze_transfer",
+                 "personal_calibration"],
+    )
+    p.add_argument("--subject", type=str, default=None)
+    p.add_argument("--fit_steps", type=int, default=50)
+    p.add_argument("--max_pairs", type=int, default=20)
+    p.add_argument("--estimator_ckpt", type=str, default="",
+                   help="torch ResNet50 gaze estimator checkpoint")
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+    logging.basicConfig(level=logging.INFO)
+
+    ds = GazeH5Dataset(
+        cfg.data.img_dir,
+        subjects=[args.subject] if args.subject else None,
+        dataset=cfg.data.dataset, shuffle=False,
+    )
+    loader = BatchLoader(ds, 1, num_workers=1, skip_invalid=False)
+    batches = []
+    for i, b in enumerate(loader):
+        if i >= 2 * args.max_pairs:
+            break
+        batches.append(b)
+
+    trainer = Trainer(cfg, train_len=1, steps_per_epoch=1)
+    if args.resume:
+        trainer.state, _, _ = load_checkpoint(args.resume, trainer.state)
+    ctx = EvalContext.build(
+        cfg, trainer.model, trainer.state, trainer.frozen, trainer.expr_fix,
+        fit_steps=args.fit_steps, estimator_fn=build_estimator(args.estimator_ckpt),
+    )
+
+    if args.evaluation_type == "input_target_images":
+        pairs = [
+            {"input": batches[i], "target": batches[i + 1]}
+            for i in range(0, len(batches) - 1, 2)
+        ]
+        res = evaluate_input_target_images(ctx, pairs[: args.max_pairs])
+    elif args.evaluation_type == "consistency":
+        res = evaluate_consistency(ctx, batches[: args.max_pairs])
+    elif args.evaluation_type == "gaze_transfer":
+        res = evaluate_gaze_transfer(ctx, batches[0], batches[1])
+        res = {k: v for k, v in res.items() if not isinstance(v, np.ndarray)}
+    else:  # personal_calibration
+        from gazenerf_tpu.eval.protocols import evaluate_personal_calibration
+
+        n_cal = max(1, len(batches) // 4)
+        out = evaluate_personal_calibration(
+            ctx, batches[:n_cal], batches[n_cal : n_cal + args.max_pairs]
+        )
+        res = {"num_rendered": len(out["rendered"])}
+
+    print(json.dumps(res, indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,82 @@
+"""``python -m gazenerf_tpu.cli.train`` — the training entry point.
+
+TPU twin of the reference ``train.py`` (reference: train.py:50-131): builds
+the data loader, trainer, runs epochs with checkpointing + CSV summaries and
+a final throughput report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+from gazenerf_tpu.cli.common import add_common_args, config_from_args
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+from gazenerf_tpu.train.trainer import Trainer
+from gazenerf_tpu.utils.logging import configure_logging, maybe_wandb_init
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Train GazeNeRF-TPU")
+    add_common_args(p)
+    p.add_argument("--subject", type=str, default=None,
+                   help="restrict to a single subject file")
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    configure_logging(os.path.join(cfg.train.checkpoint_dir, "train.log"))
+    wandb = maybe_wandb_init(args.log, config=cfg.to_json())
+
+    ds = GazeH5Dataset(
+        cfg.data.img_dir,
+        subjects=[args.subject] if args.subject else None,
+        dataset=cfg.data.dataset,
+        frames_per_subject=cfg.data.frames_per_subject,
+        seed=cfg.train.seed,
+    )
+    loader = BatchLoader(
+        ds, cfg.train.batch_size, num_workers=cfg.data.num_workers
+    )
+    logger.info("dataset: %d samples, %d batches/epoch", len(ds), len(loader))
+
+    trainer = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    if args.resume:
+        from gazenerf_tpu.train.checkpoint import load_checkpoint
+
+        trainer.state, _, start_epoch = load_checkpoint(args.resume, trainer.state)
+        logger.info("resumed from %s (epoch %d)", args.resume, start_epoch)
+
+    t0 = time.time()
+    total_samples = 0
+    for epoch in range(cfg.train.num_epochs):
+        summary = trainer.train_epoch(loader, epoch)
+        total_samples += summary["batches"] * cfg.train.batch_size
+        logger.info(
+            "epoch %d: loss %.5f (%d batches, %.1fs)",
+            epoch, summary["loss"], summary["batches"], summary["seconds"],
+        )
+        if wandb is not None:
+            wandb.log({"epoch": epoch, "loss": summary["loss"]})
+        if (epoch + 1) % cfg.train.checkpoint_every == 0:
+            from gazenerf_tpu.train.checkpoint import save_checkpoint
+
+            path = save_checkpoint(cfg.train.checkpoint_dir, trainer.state, cfg, epoch)
+            logger.info("checkpoint -> %s", path)
+
+    dt = time.time() - t0
+    trainer.save_summary_csv(
+        os.path.join(cfg.train.checkpoint_dir, "summary.csv")
+    )
+    logger.info(
+        "done: %d samples in %.1fs (%.2f samples/s)",
+        total_samples, dt, total_samples / max(dt, 1e-9),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

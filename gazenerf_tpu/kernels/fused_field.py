@@ -1,0 +1,311 @@
+"""Fused ray-march field kernel (Pallas TPU).
+
+This is the framework's native-kernel replacement for the reference's
+"implicit native component" — PyTorch's CUDA kernels under the 8-layer field
+MLP + volume integration (reference models/mlp_nerf.py:95-119 +
+utils/model_utils.py:493-534; plan: SURVEY.md §7 step 4).
+
+One ``pallas_call`` evaluates, per (batch, ray-tile) grid step, entirely in
+VMEM:
+
+    positional-embedding tile -> 8x Dense(+skip) -> density & 258-ch feature
+    heads -> alpha compositing -> per-ray integrated feature / bg-alpha /
+    depth / sample weights
+
+so the huge per-sample tensors (``[B,R,S,384]`` activations, ``[B,R,S,258]``
+features — ~10 GB/step at full size) never touch HBM.  MXU notes:
+
+* every Dense is a ``[TR*S, Cin] x [Cin, Cout]`` matmul with
+  ``preferred_element_type=f32`` accumulation (bf16 weights/activations);
+* the exclusive cumulative product of transmittance is computed in log space
+  as a matmul with a strictly-lower-triangular ones matrix — cumsum-as-matmul
+  rides the MXU instead of serializing a scan;
+* the conditioning-code contribution is folded in as per-batch bias rows
+  (computed once in the XLA prologue), matching
+  :mod:`gazenerf_tpu.models.mlp_nerf`'s split-conditioning scheme.
+
+The op is wrapped in ``jax.custom_vjp``: forward runs the Pallas kernel; the
+backward currently rematerializes through the XLA reference implementation
+(bit-compatible math below) — a Pallas backward with in-VMEM dW accumulation
+is the next step (PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-10
+
+
+class FieldDims(NamedTuple):
+    embed: int  # positional embedding width (63)
+    hidden: int  # MLP width (384)
+    feat: int  # output feature channels (258)
+    samples: int  # samples per ray (64)
+    tile_rays: int  # rays per grid step
+    interpret: bool = False
+
+
+def _split_params(params: Dict, dims: FieldDims):
+    """Split the NeRFFieldMLP param dict into kernel operands.
+
+    Layout must match gazenerf_tpu.models.mlp_nerf (reference-compatible):
+    ``fea_0`` rows [0:embed] act on the embedding, [embed:] on the shape code;
+    ``fea_5`` rows [0:embed] embed, [embed:embed+cond] code, rest hidden;
+    ``rgb_1`` rows [0:hidden] activations, [hidden:] appearance code.
+    """
+    De, H = dims.embed, dims.hidden
+    g = lambda n: params[f"{n}/kernel"]  # noqa: E731
+    b = lambda n: params[f"{n}/bias"]  # noqa: E731
+    w0 = g("fea_0")
+    w5 = g("fea_5")
+    wr1 = g("rgb_1")
+    return {
+        "W0e": w0[:De],
+        "W0c": w0[De:],
+        "b0": b("fea_0"),
+        "Wmid": jnp.stack([g(f"fea_{i}") for i in (1, 2, 3, 4, 6, 7)]),
+        "bmid": jnp.stack([b(f"fea_{i}") for i in (1, 2, 3, 4, 6, 7)]),
+        "W5e": w5[:De],
+        "W5c": w5[De : w5.shape[0] - H],
+        "W5x": w5[w5.shape[0] - H :],
+        "b5": b("fea_5"),
+        "Wd": g("density"),
+        "bd": b("density"),
+        "Wr0": g("rgb_0"),
+        "br0": b("rgb_0"),
+        "Wr1x": wr1[:H],
+        "Wr1c": wr1[H:],
+        "br1": b("rgb_1"),
+        "Wr2": g("rgb_2"),
+        "br2": b("rgb_2"),
+    }
+
+
+def _field_kernel(dims: FieldDims):
+    De, H, C, S, TR = dims.embed, dims.hidden, dims.feat, dims.samples, dims.tile_rays
+    H2 = H // 2
+    N = TR * S
+
+    def kernel(
+        embed_ref, zvals_ref, zdists_ref,
+        cb0_ref, cb5_ref, cbr1_ref,
+        W0e_ref, Wmid_ref, bmid_ref, W5e_ref, W5x_ref,
+        Wd_ref, bd_ref, Wr0_ref, br0_ref, Wr1x_ref, Wr2_ref, br2_ref,
+        feat_out_ref, bga_out_ref, depth_out_ref, w_out_ref,
+    ):
+        f32 = jnp.float32
+        bf = jnp.bfloat16
+
+        bidx = pl.program_id(0)
+        embed = embed_ref[0].reshape(N, De).astype(bf)
+
+        def dense(x, w, prefer=f32):
+            return jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())), preferred_element_type=prefer
+            )
+
+        # layer 0 with per-batch conditioning bias row (b0 already folded in)
+        x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
+        x = jnp.maximum(x, 0.0).astype(bf)
+
+        mid = 0
+        for i in range(1, 8):
+            if i == 5:
+                x = (
+                    dense(embed, W5e_ref[...].astype(bf))
+                    + dense(x, W5x_ref[...].astype(bf))
+                    + cb5_ref[bidx][None, :]
+                )
+            else:
+                x = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
+                mid += 1
+            x = jnp.maximum(x, 0.0).astype(bf)
+
+        density = jnp.maximum(
+            dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0
+        )  # [N, 1] f32
+
+        y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+        y = (dense(y.astype(bf), Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :])
+        y = jnp.maximum(y, 0.0).astype(bf)
+        feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]  # [N, C] f32
+
+        # ---- volume integration in VMEM ----
+        sigma = density.reshape(TR, S)
+        zdists = zdists_ref[0]
+        zvals = zvals_ref[0]
+        alpha = 1.0 - jnp.exp(-sigma * zdists)  # [TR, S]
+        logx = jnp.log(1.0 - alpha + _EPS)
+        # exclusive cumsum along samples as a strictly-lower-triangular matmul
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        ltri = (row < col).astype(f32)  # M[j, s] = 1 iff j < s
+        trans = jnp.exp(
+            jax.lax.dot_general(
+                logx, ltri, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+        )
+        w = alpha * trans  # [TR, S]
+
+        feat3 = feat.reshape(TR, S, C)
+        feat_int = jnp.sum(feat3 * w[:, :, None].astype(feat3.dtype), axis=1)
+        depth = jnp.sum(w * zvals, axis=1)
+        acc = jnp.sum(w, axis=1)
+
+        feat_out_ref[0] = feat_int.astype(feat_out_ref.dtype)
+        bga_out_ref[0] = (1.0 - acc)[:, None].astype(bga_out_ref.dtype)
+        depth_out_ref[0] = depth[:, None].astype(depth_out_ref.dtype)
+        w_out_ref[0] = w.astype(w_out_ref.dtype)
+
+    return kernel
+
+
+def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
+    B, R, S, De = embed.shape
+    TR = dims.tile_rays
+    assert R % TR == 0, (R, TR)
+    H, C = dims.hidden, dims.feat
+    p = _split_params(params, dims)
+
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    # conditioning prologue: per-batch bias rows (XLA, tiny)
+    cb0 = (sc @ p["W0c"] + p["b0"]).astype(f32)  # [B, H]
+    cb5 = (sc @ p["W5c"] + p["b5"]).astype(f32)
+    cbr1 = (ac @ p["Wr1c"] + p["br1"]).astype(f32)
+
+    grid = (B, R // TR)
+    vm = pltpu.VMEM
+    tile = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=vm)  # noqa: E731
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda b, r: (0,) * arr.ndim, memory_space=vm
+    )
+
+    weights = [
+        p["W0e"].astype(bf), p["Wmid"].astype(bf), p["bmid"].astype(f32),
+        p["W5e"].astype(bf), p["W5x"].astype(bf),
+        p["Wd"].astype(bf), p["bd"].astype(f32),
+        p["Wr0"].astype(bf), p["br0"].astype(f32),
+        p["Wr1x"].astype(bf),
+        p["Wr2"].astype(bf), p["br2"].astype(f32),
+    ]
+
+    out = pl.pallas_call(
+        _field_kernel(dims),
+        grid=grid,
+        in_specs=[
+            tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            const(cb0),
+            const(cb5),
+            const(cbr1),
+        ]
+        + [const(w) for w in weights],
+        out_specs=[
+            tile((1, TR, C), lambda b, r: (b, r, 0)),
+            tile((1, TR, 1), lambda b, r: (b, r, 0)),
+            tile((1, TR, 1), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, C), f32),
+            jax.ShapeDtypeStruct((B, R, 1), f32),
+            jax.ShapeDtypeStruct((B, R, 1), f32),
+            jax.ShapeDtypeStruct((B, R, S), f32),
+        ],
+        interpret=dims.interpret,
+    )(embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights)
+    feat_int, bga, depth, w = out
+    return feat_int, bga[..., 0], depth[..., 0], w
+
+
+def xla_reference(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
+    """Pure-XLA twin of the kernel (same math; used for VJP + tests)."""
+    p = _split_params(params, dims)
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    B = embed.shape[0]
+    bshape = (B, 1, 1)
+
+    cb0 = (sc @ p["W0c"] + p["b0"]).astype(bf)
+    cb5 = (sc @ p["W5c"] + p["b5"]).astype(bf)
+    cbr1 = (ac @ p["Wr1c"] + p["br1"]).astype(bf)
+
+    e = embed.astype(bf)
+    x = jax.nn.relu(e @ p["W0e"].astype(bf) + cb0.reshape(bshape + (-1,)))
+    mid = 0
+    for i in range(1, 8):
+        if i == 5:
+            x = e @ p["W5e"].astype(bf) + x @ p["W5x"].astype(bf) + cb5.reshape(
+                bshape + (-1,)
+            )
+        else:
+            x = x @ p["Wmid"][mid].astype(bf) + p["bmid"][mid].astype(bf)
+            mid += 1
+        x = jax.nn.relu(x)
+    density = jax.nn.relu(
+        (x @ p["Wd"].astype(bf)).astype(f32) + p["bd"]
+    )[..., 0]
+    y = x @ p["Wr0"].astype(bf) + p["br0"].astype(bf)
+    y = jax.nn.relu(y @ p["Wr1x"].astype(bf) + cbr1.reshape(bshape + (-1,)))
+    feat = (y @ p["Wr2"].astype(bf)).astype(f32) + p["br2"]
+
+    alpha = 1.0 - jnp.exp(-density * zdists)
+    x_ = 1.0 - alpha + _EPS
+    trans = jnp.concatenate(
+        [jnp.ones_like(x_[..., :1]), jnp.cumprod(x_, axis=-1)[..., :-1]], axis=-1
+    )
+    w = alpha * trans
+    feat_int = jnp.einsum("brs,brsc->brc", w, feat)
+    depth = jnp.sum(w * zvals, axis=-1)
+    return feat_int, 1.0 - jnp.sum(w, axis=-1), depth, w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_field_render(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
+    """Fused field evaluation + integration.
+
+    Returns ``(feat_int [B,R,C], bg_alpha [B,R], depth [B,R], weights [B,R,S])``.
+    """
+    return _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+
+
+def _fwd(params, embed, sc, ac, zvals, zdists, dims):
+    out = _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+    return out, (params, embed, sc, ac, zvals, zdists)
+
+
+def _bwd(dims, res, g):
+    params, embed, sc, ac, zvals, zdists = res
+    _, vjp = jax.vjp(
+        lambda *a: xla_reference(*a, dims), params, embed, sc, ac, zvals, zdists
+    )
+    return vjp(g)
+
+
+fused_field_render.defvjp(_fwd, _bwd)
+
+
+def default_dims(cfg, interpret: bool = False) -> FieldDims:
+    """Pick a ray-tile size that divides R and keeps VMEM happy."""
+    R = cfg.num_rays
+    tr = 32
+    while R % tr:
+        tr //= 2
+    return FieldDims(
+        embed=cfg.vp_embed_dims,
+        hidden=cfg.mlp_hidden,
+        feat=cfg.featmap_nc,
+        samples=cfg.num_sample_coarse,
+        tile_rays=tr,
+        interpret=interpret,
+    )

@@ -13,7 +13,12 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from gazenerf_tpu.ops.image import blur3x3, pixel_shuffle2, upsample2x_blur
+from gazenerf_tpu.ops.image import (
+    blur3x3,
+    pixel_shuffle2,
+    pixel_shuffle2_blur,
+    upsample2x_blur,
+)
 
 
 class PixelShuffleUpsample(nn.Module):
@@ -26,6 +31,7 @@ class PixelShuffleUpsample(nn.Module):
 
     in_feature: int
     dtype: jnp.dtype = jnp.float32
+    fused_shuffle: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -39,6 +45,10 @@ class PixelShuffleUpsample(nn.Module):
             negative_slope=0.2,
         )
         out = out + y
+        if self.fused_shuffle:
+            # blur(shuffle(.)) as one grouped transposed conv (exact; see
+            # ops.image.pixel_shuffle2_blur)
+            return pixel_shuffle2_blur(out)
         out = pixel_shuffle2(out)
         return blur3x3(out)
 
@@ -61,6 +71,7 @@ class NeuralRenderer(nn.Module):
     featmap_size: int = 64
     img_size: int = 512
     dtype: jnp.dtype = jnp.float32
+    fused_shuffle: bool = True
 
     def setup(self):
         import math
@@ -71,7 +82,7 @@ class NeuralRenderer(nn.Module):
             for i in range(self.n_blocks + 1)
         ]
         self.feat_upsample_list = [
-            PixelShuffleUpsample(widths[i], dtype=self.dtype, name=f"feat_upsample_{i}")
+            PixelShuffleUpsample(widths[i], dtype=self.dtype, fused_shuffle=self.fused_shuffle, name=f"feat_upsample_{i}")
             for i in range(self.n_blocks)
         ]
         self.feat_layers = [

@@ -81,6 +81,68 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
     )
 
 
+def pixel_shuffle2_blur(x: jnp.ndarray) -> jnp.ndarray:
+    """Fused ``blur3x3(pixel_shuffle2(x))`` via phase arithmetic.
+
+    Both ops are linear; instead of materializing the shuffled image (whose
+    6D-transpose lowering is catastrophically slow in some Mosaic contexts)
+    or a grouped transposed conv (64x padding blow-up on TPU), compute the
+    four output phase images directly as shifted FMAs of the four input
+    phase groups, then interleave with layout-friendly stack+reshape
+    (channels stay on lanes throughout).
+
+    Exactly equals ``blur3x3(pixel_shuffle2(x))`` including the reflect
+    boundary.
+
+    Args:
+      x: ``[B, H, W, 4*C]`` with torch shuffle channel order
+         (input channel ``4c + 2i + j`` -> output phase ``(i, j)`` of
+         channel ``c``) -> ``[B, 2H, 2W, C]``.
+    """
+    B, H, W, C4 = x.shape
+    assert C4 % 4 == 0
+    C = C4 // 4
+    f = np.array([1.0, 2.0, 1.0]) / 4.0
+    kb = np.outer(f, f)  # 3x3 binomial / 16
+
+    # phase groups g[k] = channels k::4  (torch order c*4+k) -- one
+    # channel-gather each; XLA lowers to a relayout copy
+    g = [x[..., k::4] for k in range(4)]
+
+    # edge-replicate ONE block on each side: in shuffled space this
+    # reproduces the blur's reflect boundary (shuffled row -1 == row 1 ==
+    # phase-1 row of block 0, which edge replication provides)
+    gp = [jnp.pad(gi, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge") for gi in g]
+
+    def shifted(k, dh, dw):
+        # block-shifted view of phase k: offset (dh, dw) in {-1, 0, 1}
+        return jax.lax.dynamic_slice(
+            gp[k], (0, 1 + dh, 1 + dw, 0), (B, H, W, C)
+        )
+
+    # out[2h+i, 2w+j, c] = sum_{a,b in 0..2} kb[a,b] * sh[2h+i+a-1, 2w+j+b-1]
+    # where sh[m, n] = g[(m%2)*2 + n%2][m//2, n//2].
+    phases = []
+    for i in range(2):
+        row_phase = []
+        for j in range(2):
+            acc = 0.0
+            for a in range(3):
+                for b in range(3):
+                    m, n = i + a - 1, j + b - 1  # shuffled-space offsets
+                    k = (m % 2) * 2 + (n % 2)
+                    dh, dw = m // 2, n // 2  # floor division (handles -1)
+                    acc = acc + kb[a, b] * shifted(k, dh, dw)
+            row_phase.append(acc)
+        phases.append(row_phase)
+
+    # interleave columns then rows with stack+reshape (C stays minor)
+    row0 = jnp.stack([phases[0][0], phases[0][1]], axis=3).reshape(B, H, 2 * W, C)
+    row1 = jnp.stack([phases[1][0], phases[1][1]], axis=3).reshape(B, H, 2 * W, C)
+    out = jnp.stack([row0, row1], axis=2).reshape(B, 2 * H, 2 * W, C)
+    return out
+
+
 def upsample2x_blur(x: jnp.ndarray) -> jnp.ndarray:
     """x2 bilinear upsample followed by the binomial blur.
 

@@ -1,0 +1,199 @@
+"""Offline data factory driver: raw frames -> per-subject training h5.
+
+TPU-framework twin of the reference's preprocessing driver
+(reference: dataset_pre_processing.py:80-445,1354-1505): per frame —
+normalize to the virtual camera, detect landmarks, generate masks, fit the
+NL-3DMM, convert gaze to head coordinates — then write one h5 row in the
+schema the trainer reads (datasets/eth_xgaze.py:330-356; our
+data/synthetic.py documents it).
+
+The heavy neural detectors (face-alignment, BiSeNet weights) are optional;
+the driver degrades to geometric fallbacks so the pipeline runs end-to-end
+anywhere (masks/landmarks quality then limits data quality, not
+functionality).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+import h5py
+
+from gazenerf_tpu.preprocess.landmarks import LandmarkDetector
+from gazenerf_tpu.preprocess.masks import BiSeNetMasker, landmark_masks
+from gazenerf_tpu.preprocess.normalize import (
+    NORMALIZATION_PRESETS,
+    estimate_head_pose,
+    gaze_to_head_coordinates,
+    normalize_face,
+    normalized_head_pose,
+    vector_to_pitchyaw,
+)
+
+logger = logging.getLogger(__name__)
+
+# generic 6-point 3D face model column order: 4 eye corners, 2 mouth corners
+# (reference data/eth_xgaze/face_model.txt consumed at data_process.py:68-75);
+# iBUG-68 indices of those points:
+FACE_MODEL_LM68 = [36, 39, 42, 45, 48, 54]
+
+
+class SubjectWriter:
+    """Appends schema rows to one per-subject h5 file."""
+
+    def __init__(self, path: str, img_size: int = 512):
+        from gazenerf_tpu.data.synthetic import SCHEMA
+
+        self.img_size = img_size
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.f = h5py.File(path, "w")
+        for key, (shape, dtype) in SCHEMA.items():
+            if key == "face_patch":
+                shape = (img_size, img_size, 3)
+            elif key in ("head_mask", "left_eye_mask", "right_eye_mask"):
+                shape = (img_size, img_size)
+            self.f.create_dataset(
+                key, (0,) + shape, maxshape=(None,) + shape, dtype=dtype,
+                chunks=(1,) + shape,
+            )
+
+    def append(self, row: Dict[str, np.ndarray]):
+        n = self.f["face_patch"].shape[0]
+        for key, ds in self.f.items():
+            ds.resize(n + 1, axis=0)
+            ds[n] = row[key]
+
+    def close(self):
+        self.f.close()
+
+
+def process_frame(
+    img_bgr: np.ndarray,
+    camera_matrix: np.ndarray,
+    face_model_3d: np.ndarray,
+    landmark_detector: LandmarkDetector,
+    masker: Optional[BiSeNetMasker] = None,
+    gaze_vector: Optional[np.ndarray] = None,
+    cam_index: int = 0,
+    img_size: int = 512,
+    dataset: str = "eth_xgaze",
+    dist_coeffs: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Full per-frame pipeline -> one h5 row (minus the fitted code)."""
+    focal, dist = NORMALIZATION_PRESETS.get(dataset, (1600.0, 680.0))
+
+    lm_full = landmark_detector(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB))
+    rvec, tvec = estimate_head_pose(
+        lm_full[FACE_MODEL_LM68], face_model_3d, camera_matrix, dist_coeffs
+    )
+    warped, R_norm, W = normalize_face(
+        img_bgr, face_model_3d, rvec, tvec, camera_matrix,
+        img_dim=img_size, focal_norm=focal, distance_norm=dist,
+    )
+
+    # landmarks in the normalized image: re-detect (reference re-runs the
+    # detector on warped frames); fall back to homography-projected points
+    lm_norm = landmark_detector(cv2.cvtColor(warped, cv2.COLOR_BGR2RGB))
+    if not landmark_detector.available:
+        ones = np.ones((68, 1))
+        proj = (W @ np.concatenate([lm_full, ones], axis=1).T).T
+        lm_norm = (proj[:, :2] / proj[:, 2:]).astype(np.float32)
+
+    if masker is not None and masker.available:
+        head, left, right = masker(warped.astype(np.float32) / 255.0, cam_index)
+    else:
+        head, left, right = landmark_masks(lm_norm, img_size, cam_index)
+
+    hR = cv2.Rodrigues(rvec)[0]
+    head_pose = normalized_head_pose(R_norm, hR)
+    if gaze_vector is not None:
+        g_norm = R_norm @ np.asarray(gaze_vector, np.float64).reshape(3)
+        pitchyaw_cam = vector_to_pitchyaw(g_norm)
+        hR_norm = R_norm @ hR
+        pitchyaw_head = gaze_to_head_coordinates(pitchyaw_cam, hR_norm)
+    else:
+        pitchyaw_head = np.zeros(2, np.float32)
+
+    inmat = np.array(
+        [[focal, 0, img_size / 2], [0, focal, img_size / 2], [0, 0, 1]], np.float32
+    )
+    return {
+        "face_patch": warped.astype(np.uint8),  # stored BGR like the reference
+        "head_mask": head,
+        "left_eye_mask": left,
+        "right_eye_mask": right,
+        "facial_landmarks": lm_norm.astype(np.float64),
+        "cam_index": np.array([cam_index], np.int64),
+        "pitchyaw_head": pitchyaw_head.astype(np.float32),
+        "face_head_pose": head_pose.astype(np.float32),
+        "inmat": inmat,
+        "inv_inmat": np.linalg.inv(inmat).astype(np.float32),
+        # w2c/c2w + latent code are produced by the NL-3DMM fit stage
+        "w2c_Rmat": np.eye(3, dtype=np.float32),
+        "w2c_Tvec": np.zeros(3, np.float32),
+        "c2w_Rmat": np.eye(3, dtype=np.float32),
+        "c2w_Tvec": np.zeros(3, np.float32),
+        "latent_codes": np.zeros(306, np.float32),
+    }
+
+
+def process_subject(
+    frame_paths: List[str],
+    out_path: str,
+    camera_matrix: np.ndarray,
+    face_model_3d: np.ndarray,
+    fitter=None,
+    img_size: int = 512,
+    dataset: str = "eth_xgaze",
+) -> str:
+    """Process a subject's frames into one h5; optional NL-3DMM fitting."""
+    det = LandmarkDetector()
+    writer = SubjectWriter(out_path, img_size)
+    rows = []
+    for i, p in enumerate(frame_paths):
+        img = cv2.imread(p)
+        if img is None:
+            logger.warning("unreadable frame %s; skipping", p)
+            continue
+        row = process_frame(
+            img, camera_matrix, face_model_3d, det,
+            cam_index=i % 18, img_size=img_size, dataset=dataset,
+        )
+        rows.append(row)
+
+    if fitter is not None and rows:
+        images = np.stack(
+            [cv2.resize(r["face_patch"], (fitter.cfg.image_size,) * 2) for r in rows]
+        ).astype(np.float32)[..., ::-1] / 255.0
+        scale = fitter.cfg.image_size / img_size
+        lms = np.stack([r["facial_landmarks"] for r in rows]).astype(np.float32) * scale
+        B = len(rows)
+        base_R = np.tile(np.diag([1.0, -1.0, -1.0]).astype(np.float32), (B, 1, 1))
+        base_T = np.tile(np.array([0, 0, 12.0], np.float32), (B, 1))
+        inmat_fit = np.stack([r["inmat"] for r in rows]) * scale
+        inmat_fit[:, 2, 2] = 1.0
+        res = fitter.fit(images, lms, base_R, base_T, inmat_fit)
+        # identity/expr/texture averaged over the first frames
+        # (reference dataset_pre_processing.py:391-395 averages identity)
+        code = np.array(res["code"], copy=True)
+        code[:, :279] = code[: min(3, B), :279].mean(axis=0, keepdims=True)
+        for i, r in enumerate(rows):
+            r["latent_codes"] = code[i]
+            r["w2c_Rmat"] = res["w2c_Rmat"][i]
+            r["w2c_Tvec"] = res["w2c_Tvec"][i]
+            r["c2w_Rmat"] = res["c2w_Rmat"][i]
+            r["c2w_Tvec"] = res["c2w_Tvec"][i]
+
+    for r in rows:
+        writer.append(r)
+    writer.close()
+    logger.info("wrote %d frames -> %s", len(rows), out_path)
+    return out_path

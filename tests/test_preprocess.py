@@ -1,0 +1,202 @@
+"""Preprocessing + NL-3DMM tests: normalization math, masks, rasterizer, fit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gazenerf_tpu.nl3dmm.face_model import (
+    GeometryDecoder,
+    decode_texture,
+    random_basis,
+    sh_shade,
+    vertex_normals,
+)
+from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
+from gazenerf_tpu.nl3dmm.rasterizer import (
+    RasterSettings,
+    project_vertices,
+    render_mesh,
+)
+from gazenerf_tpu.preprocess.landmarks import LandmarkDetector, synthetic_landmarks
+from gazenerf_tpu.preprocess.masks import correct_head_mask, landmark_masks
+from gazenerf_tpu.preprocess.normalize import (
+    estimate_head_pose,
+    normalize_face,
+    vector_to_pitchyaw,
+)
+
+FACE_MODEL_6 = np.array(
+    [
+        [-45.0, -30.0, 30.0],  # right eye outer
+        [-15.0, -30.0, 35.0],  # right eye inner
+        [15.0, -30.0, 35.0],
+        [45.0, -30.0, 30.0],
+        [-25.0, 30.0, 30.0],  # mouth corners
+        [25.0, 30.0, 30.0],
+    ],
+    np.float64,
+)
+
+
+def test_head_pose_roundtrip():
+    """solvePnP recovers a synthetic camera pose (project -> solve)."""
+    import cv2
+
+    K = np.array([[1200.0, 0, 320], [0, 1200.0, 240], [0, 0, 1]])
+    rvec_gt = np.array([[0.1], [-0.2], [0.05]])
+    tvec_gt = np.array([[10.0], [-5.0], [900.0]])
+    pts2d, _ = cv2.projectPoints(FACE_MODEL_6, rvec_gt, tvec_gt, K, None)
+    rvec, tvec = estimate_head_pose(pts2d.reshape(-1, 2), FACE_MODEL_6, K)
+    np.testing.assert_allclose(rvec, rvec_gt, atol=1e-4)
+    np.testing.assert_allclose(tvec, tvec_gt, atol=1e-2)
+
+
+def test_normalize_face_geometry():
+    """The warped image is the right size and the rotation is orthonormal."""
+    import cv2
+
+    K = np.array([[1200.0, 0, 320], [0, 1200.0, 240], [0, 0, 1]])
+    rvec = np.array([[0.05], [-0.1], [0.0]])
+    tvec = np.array([[0.0], [0.0], [900.0]])
+    img = np.random.default_rng(0).integers(0, 255, (480, 640, 3), np.uint8)
+    warped, R, W = normalize_face(
+        img, FACE_MODEL_6, rvec, tvec, K, img_dim=128, focal_norm=1600.0
+    )
+    assert warped.shape == (128, 128, 3)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+    # forward axis points at the face center
+    fc_dir = R[2]
+    assert fc_dir[2] > 0.9
+
+
+def test_vector_pitchyaw_roundtrip():
+    from gazenerf_tpu.ops.rotation import pitchyaw_to_vector
+
+    py = np.array([0.2, -0.3], np.float32)
+    v = np.asarray(pitchyaw_to_vector(jnp.asarray(py[None])))[0]
+    back = vector_to_pitchyaw(v)
+    np.testing.assert_allclose(back, py, atol=1e-6)
+
+
+def test_landmark_masks_and_cleanup():
+    lm = synthetic_landmarks((32, 24, 96, 120))
+    head, left, right = landmark_masks(lm, 128)
+    assert head.max() == 255 and head.dtype == np.uint8
+    assert left.sum() > 0 and right.sum() > 0
+    # eyes sit inside the head region
+    assert (head & left).sum() > 0
+    # per-camera half-profile: cam 11 blanks the right eye
+    _, l2, r2 = landmark_masks(lm, 128, cam_index=11)
+    assert r2.sum() == 0 and l2.sum() > 0
+
+    noisy = head.copy()
+    noisy[2:6, 2:6] = 255  # speckle far from the face
+    cleaned = correct_head_mask(noisy)
+    assert cleaned[2:6, 2:6].sum() == 0
+
+
+def test_landmark_detector_fallback_chain():
+    det = LandmarkDetector()
+    img = np.zeros((64, 64, 3), np.uint8)
+    lm = det(img)
+    assert lm.shape == (68, 2)
+    lm2 = det(img)  # second call reuses/redetects without error
+    assert lm2.shape == (68, 2)
+
+
+# ---------------- NL-3DMM ----------------
+
+
+@pytest.fixture(scope="module")
+def basis():
+    return random_basis(n_vertices=256, n_tris=400)
+
+
+def test_face_model_decoders(basis):
+    dec = GeometryDecoder(basis)
+    code = jnp.zeros((2, 179))
+    verts = dec(jax.tree_util.tree_map(jnp.asarray, dec.init_params), code)
+    assert verts.shape == (2, 256, 3)
+    # zero code ~ mean shape (decoder starts near-linear)
+    np.testing.assert_allclose(
+        np.asarray(verts[0]), np.asarray(basis.mean_shape), atol=1e-2
+    )
+    tex = decode_texture(basis, jnp.zeros((2, 100)))
+    np.testing.assert_allclose(np.asarray(tex[0]), np.asarray(basis.mean_texture))
+    normals = vertex_normals(verts, basis.triangles)
+    n = np.linalg.norm(np.asarray(normals), axis=-1)
+    # all vertices of the convex-hull mesh are referenced -> unit normals
+    assert (n > 0.99).mean() > 0.9  # a few verts unreferenced by the truncated tri list
+    shaded = sh_shade(tex, normals, jnp.zeros((2, 27)))
+    assert np.isfinite(np.asarray(shaded)).all()
+
+
+def _camera(B):
+    R = np.tile(np.diag([1.0, -1.0, -1.0]).astype(np.float32), (B, 1, 1))
+    T = np.tile(np.array([0.0, 0.0, 4.0], np.float32), (B, 1))
+    K = np.tile(
+        np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]], np.float32), (B, 1, 1)
+    )
+    return jnp.asarray(R), jnp.asarray(T), jnp.asarray(K)
+
+
+def test_rasterizer_renders_sphere(basis):
+    """The unit sphere renders as a centered disk with correct depth order."""
+    s = RasterSettings(image_size=128, tile_size=16, tris_per_tile=64)
+    R, T, K = _camera(1)
+    verts = basis.mean_shape[None]
+    colors = jnp.full((1, 256, 3), 0.5)
+    img, alpha = render_mesh(verts, colors, basis.triangles, R, T, K, s)
+    img, alpha = np.asarray(img[0]), np.asarray(alpha[0])
+    assert img.shape == (128, 128, 3)
+    assert alpha[64, 64] > 0.9  # center covered
+    assert alpha[2, 2] < 0.1  # corner background
+    assert abs(img[2, 2, 0] - 1.0) < 0.05  # white background
+
+
+def test_rasterizer_gradients(basis):
+    s = RasterSettings(image_size=64, tile_size=16, tris_per_tile=32)
+    R, T, K = _camera(1)
+    colors = jnp.full((1, 256, 3), 0.5)
+
+    def loss(verts):
+        img, alpha = render_mesh(verts, colors, basis.triangles, R, T, K, s)
+        return jnp.mean((img - 0.2) ** 2)
+
+    g = jax.grad(loss)(basis.mean_shape[None])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_nl3dmm_fitting_reduces_loss(basis):
+    """Fit from a perturbed camera toward a rendered target: loss decreases."""
+    cfg = FitConfig(
+        stage1_steps=20, stage2_steps=30, image_size=64,
+        lr_cam=3e-3, lr_code=3e-3,
+    )
+    raster = RasterSettings(image_size=64, tile_size=16, tris_per_tile=32)
+    fitter = NL3DMMFitter(basis, cfg, raster)
+    R, T, K = _camera(1)
+
+    from gazenerf_tpu.nl3dmm.rasterizer import project_landmarks
+
+    verts = basis.mean_shape[None]
+    colors = jnp.full((1, 256, 3), 0.55)
+    target, _ = render_mesh(verts, colors, basis.triangles, R, T, K, raster)
+    lms = project_landmarks(verts, basis.landmark_index, R, T, K)
+
+    # start the fit from a translated base camera: stage 1 must undo it
+    T_off = np.asarray(T) + np.array([[0.08, -0.05, 0.2]], np.float32)
+    res = fitter.fit(
+        np.asarray(target), np.asarray(lms), np.asarray(R), T_off,
+        np.asarray(K),
+    )
+    assert res["code"].shape == (1, 306)
+    assert np.isfinite(res["stage2_losses"]).all()
+    assert res["stage2_losses"][-1] < res["stage1_losses"][0]
+    # output cameras invert correctly
+    RT = res["w2c_Rmat"][0] @ res["c2w_Rmat"][0]
+    np.testing.assert_allclose(RT, np.eye(3), atol=1e-5)
