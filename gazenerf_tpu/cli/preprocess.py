@@ -1,0 +1,105 @@
+"""``python -m gazenerf_tpu.cli.preprocess`` — the offline data factory CLI.
+
+TPU twin of the reference ``dataset_pre_processing.py`` CLI
+(reference: dataset_pre_processing.py:1443-1505): iterate raw frames of a
+subject, normalize + landmark + mask + 3DMM-fit, and write the per-subject
+training h5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+from gazenerf_tpu.cli.common import str2bool
+
+logger = logging.getLogger(__name__)
+
+# generic 6-point 3D face model (eye corners x4, mouth corners x2) used when
+# no face_model.txt is supplied; millimetre scale like the reference model
+DEFAULT_FACE_MODEL = np.array(
+    [
+        [-45.0, -30.0, 30.0],
+        [-15.0, -30.0, 35.0],
+        [15.0, -30.0, 35.0],
+        [45.0, -30.0, 30.0],
+        [-25.0, 30.0, 30.0],
+        [25.0, 30.0, 30.0],
+    ],
+    np.float64,
+)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Preprocess raw frames -> training h5")
+    p.add_argument("--frames_dir", type=str, required=True,
+                   help="directory of raw frames (png/jpg)")
+    p.add_argument("--out", type=str, required=True, help="output h5 path")
+    p.add_argument("--dataset", type=str, default="eth_xgaze")
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--focal", type=float, default=1200.0,
+                   help="raw-camera focal length (px)")
+    p.add_argument("--face_model", type=str, default="",
+                   help="path to a 6-point 3D face model txt")
+    p.add_argument("--basis_npz", type=str, default="",
+                   help="NL-3DMM basis npz; omitted -> skip 3DMM fitting")
+    p.add_argument("--fit_image_size", type=int, default=128)
+    p.add_argument("--fit", type=str2bool, default=True)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    frames = sorted(
+        glob.glob(os.path.join(args.frames_dir, "*.png"))
+        + glob.glob(os.path.join(args.frames_dir, "*.jpg"))
+    )
+    if not frames:
+        logger.error("no frames in %s", args.frames_dir)
+        return 1
+
+    import cv2
+
+    probe = cv2.imread(frames[0])
+    h, w = probe.shape[:2]
+    K = np.array(
+        [[args.focal, 0, w / 2], [0, args.focal, h / 2], [0, 0, 1]], np.float64
+    )
+    face_model = (
+        np.loadtxt(args.face_model) if args.face_model else DEFAULT_FACE_MODEL
+    )
+
+    fitter = None
+    if args.fit:
+        from gazenerf_tpu.nl3dmm.face_model import load_basis, random_basis
+        from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
+        from gazenerf_tpu.nl3dmm.rasterizer import RasterSettings
+
+        basis = (
+            load_basis(args.basis_npz) if args.basis_npz else random_basis()
+        )
+        if not args.basis_npz:
+            logger.warning(
+                "no --basis_npz given; fitting against a synthetic basis "
+                "(codes will be structurally valid but not meaningful)"
+            )
+        fitter = NL3DMMFitter(
+            basis,
+            FitConfig(image_size=args.fit_image_size),
+            RasterSettings(image_size=args.fit_image_size),
+        )
+
+    from gazenerf_tpu.preprocess.driver import process_subject
+
+    out = process_subject(
+        frames, args.out, K, face_model, fitter=fitter,
+        img_size=args.img_size, dataset=args.dataset,
+    )
+    logger.info("done -> %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -91,9 +91,10 @@ class GazeNeRF(nn.Module):
         shape_ext_code: jnp.ndarray,
         appea_code: jnp.ndarray,
         samples: SampleSet,
+        embed_vd: jnp.ndarray = None,
     ):
         """Field evaluation + volume integration for one stream."""
-        feat, density = field(embed, shape_ext_code, appea_code)
+        feat, density = field(embed, shape_ext_code, appea_code, embed_vd)
         out = integrate_rays(
             feat.astype(jnp.float32),
             density[..., 0].astype(jnp.float32),
@@ -149,15 +150,22 @@ class GazeNeRF(nn.Module):
         embed = positional_encoding(
             samples.pts, cfg.vp_n_freqs, cfg.include_input_vp
         )
+        embed_vd = (
+            positional_encoding(samples.dirs, cfg.vd_n_freqs, cfg.include_input_vd)
+            if cfg.include_vd
+            else None
+        )
         shape_ext_code = jnp.concatenate(
             [shape_code, gaze_code.reshape(B, 2)], axis=-1
         )
 
         face = self._render_branch(
-            self.fg_CD_predictor_face, embed, shape_ext_code, appea_code, samples
+            self.fg_CD_predictor_face, embed, shape_ext_code, appea_code,
+            samples, embed_vd,
         )
         eyes = self._render_branch(
-            self.fg_CD_predictor_eyes, embed, shape_ext_code, appea_code, samples
+            self.fg_CD_predictor_eyes, embed, shape_ext_code, appea_code,
+            samples, embed_vd,
         )
 
         fg_feat_face = face.features.reshape(B, F, F, cfg.featmap_nc)
@@ -204,12 +212,20 @@ class GazeNeRF(nn.Module):
             fine_embed = positional_encoding(
                 fine_samples.pts, cfg.vp_n_freqs, cfg.include_input_vp
             )
+            fine_embed_vd = (
+                positional_encoding(
+                    fine_samples.dirs, cfg.vd_n_freqs, cfg.include_input_vd
+                )
+                if cfg.include_vd
+                else None
+            )
             fine = self._render_branch(
                 self.fine_fg_CD_predictor,
                 fine_embed,
                 shape_ext_code,
                 appea_code,
                 fine_samples,
+                fine_embed_vd,
             )
             fine_feat = fine.features.reshape(B, F, F, cfg.featmap_nc)
             fine_bga = fine.bg_alpha.reshape(B, F, F, 1)

@@ -72,13 +72,18 @@ class NeRFFieldMLP(nn.Module):
         embed_vp: jnp.ndarray,
         shape_cond: jnp.ndarray,
         appea_cond: jnp.ndarray,
+        embed_vd: jnp.ndarray = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Evaluate the field.
 
         Args:
           embed_vp: ``[B, ..., embed_dims]`` positional encodings.
           shape_cond: ``[B, cond_dims]`` per-image shape++gaze code.
-          appea_cond: ``[B, vd_cond_dims]`` per-image appearance code.
+          appea_cond: ``[B, vd_cond_dims - Dvd]`` per-image appearance code.
+          embed_vd: optional ``[B, ..., Dvd]`` per-sample view-direction
+            encodings (the reference's ``include_vd`` path,
+            models/gaze_nerf.py:140-143: ``cat([vd_embed, appea_code])`` with
+            the vd block FIRST).
 
         Returns:
           ``(features [B, ..., res_nfeat], density [B, ..., 1])``.
@@ -125,10 +130,22 @@ class NeRFFieldMLP(nn.Module):
         k, b = param("rgb_0", H, H)
         y = x @ k + b  # no activation (reference :110)
 
-        # rgb_1 consumes cat([y, vd_cond]) (reference :111)
+        # rgb_1 consumes cat([y, vd_embed?, appea_cond]) (reference :111;
+        # vd block first when include_vd — models/gaze_nerf.py:140-143)
         k, b = param("rgb_1", H + self.vd_cond_dims, H // 2)
-        cond_bias1 = ac @ k[H:]
-        y = nn.relu(y @ k[:H] + cond_bias1.reshape(bshape + (H // 2,)) + b)
+        if embed_vd is not None:
+            dvd = embed_vd.shape[-1]
+            cond_bias1 = ac @ k[H + dvd :]
+            y = (
+                y @ k[:H]
+                + embed_vd.astype(self.dtype) @ k[H : H + dvd]
+                + cond_bias1.reshape(bshape + (H // 2,))
+                + b
+            )
+        else:
+            cond_bias1 = ac @ k[H:]
+            y = y @ k[:H] + cond_bias1.reshape(bshape + (H // 2,)) + b
+        y = nn.relu(y)
 
         k, b = param("rgb_2", H // 2, self.res_nfeat)
         feat = y @ k + b

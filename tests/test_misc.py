@@ -1,0 +1,111 @@
+"""Misc coverage: face recognition, config serialization, CLI arg parsing."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gazenerf_tpu.config import Config, ModelConfig
+
+
+def test_identity_embedding(rng):
+    from gazenerf_tpu.eval.metrics import identity_similarity
+    from gazenerf_tpu.models import make_identity_embed_fn
+
+    fn = make_identity_embed_fn()
+    img = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    emb = fn(img)
+    assert emb.shape == (2, 512)
+    sim = identity_similarity(fn, img, img)
+    np.testing.assert_allclose(np.asarray(sim), [1.0, 1.0], atol=1e-5)
+
+
+def test_config_roundtrip():
+    cfg = Config(model=ModelConfig(mlp_hidden=128, compute_dtype="bfloat16"))
+    s = cfg.to_json()
+    back = Config.from_json(s)
+    assert back.model.mlp_hidden == 128
+    assert back.model.compute_dtype == "bfloat16"
+    assert back.model.vp_channels == cfg.model.vp_channels
+
+
+def test_cli_arg_parsing():
+    import argparse
+
+    from gazenerf_tpu.cli.common import add_common_args, config_from_args, str2bool
+
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    args = p.parse_args(
+        ["--use_vgg_loss", "false", "--batch_size", "4", "--lr", "2e-4"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.loss.use_vgg_loss is False  # the reference's type=bool footgun, fixed
+    assert cfg.train.batch_size == 4
+    assert abs(cfg.train.lr - 2e-4) < 1e-12
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        p.parse_args(["--use_vgg_loss", "maybe"])
+
+
+def test_logging_helpers(tmp_path):
+    from gazenerf_tpu.utils.logging import configure_logging, side_by_side, to_uint8
+
+    configure_logging(str(tmp_path / "x.log"))
+    a = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    u = to_uint8(a)
+    assert u.dtype == np.uint8 and u.max() <= 255
+    s = side_by_side(a, a, a)
+    assert s.shape == (8, 24, 3)
+
+
+def test_graft_entry_shapes():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    shapes = jax.eval_shape(fn, *args)
+    assert shapes.shape == (1, 512, 512, 3)
+
+
+def test_hier_sampling_and_include_vd_forward(rng):
+    """The optional model variants (fixed hier sampling, view-dir cond) render."""
+    from gazenerf_tpu.models.gaze_nerf import GazeNeRF
+    from gazenerf_tpu.ops import pixel_grid
+
+    cfg = ModelConfig(
+        num_sample_coarse=8, num_sample_fine=4, featmap_size=8,
+        pred_img_size=32, mlp_hidden=32, use_pallas=False,
+        hier_sampling=True, include_vd=True,
+    )
+    model = GazeNeRF(cfg)
+    B, W = 1, cfg.featmap_size
+    xy = jnp.broadcast_to(jnp.asarray(np.asarray(pixel_grid(W)))[None], (B, W * W, 2))
+    R = jnp.asarray(np.diag([1.0, -1.0, -1.0])[None].astype(np.float32))
+    T3 = jnp.asarray(np.array([[0.0, 0.0, 12.0]], np.float32)).reshape(B, 3, 1)
+    Kn = np.zeros((B, 3, 3), np.float32)
+    Kn[:, 0, 0] = Kn[:, 1, 1] = 0.03
+    Kn[:, 0, 2] = Kn[:, 1, 2] = -0.12
+    Kn[:, 2, 2] = 1
+    sc = jnp.zeros((B, 179))
+    ac = jnp.zeros((B, 127))
+    gz = jnp.zeros((B, 2))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, xy, sc, ac, gz, R, T3, jnp.asarray(Kn)
+    )
+    # the include_vd rgb_1 kernel rows include the vd-embed block
+    k = variables["params"]["fg_CD_predictor_face"]["rgb_1/kernel"]
+    assert k.shape[0] == 32 + 27 + 127  # hidden + vd_embed(4 freqs+input) + appea
+    out = model.apply(variables, xy, sc, ac, gz, R, T3, jnp.asarray(Kn))
+    assert "fine_dict" in out
+    assert out["fine_dict"]["merge_img"].shape == (B, 32, 32, 3)
+    assert np.isfinite(np.asarray(out["fine_dict"]["merge_img"])).all()
+    # gradients flow through the fine path
+    g = jax.grad(
+        lambda v: jnp.sum(
+            model.apply(v, xy, sc, ac, gz, R, T3, jnp.asarray(Kn))["fine_dict"]["merge_img"]
+        )
+    )(variables)
+    leaves = jax.tree_util.tree_leaves(g["params"]["fine_fg_CD_predictor"])
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
