@@ -13,10 +13,13 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+import numpy as np
+
 from gazenerf_tpu.ops.image import (
     blur3x3,
     pixel_shuffle2,
     pixel_shuffle2_blur,
+    pixel_shuffle2_blur_gm,
     upsample2x_blur,
 )
 
@@ -31,23 +34,40 @@ class PixelShuffleUpsample(nn.Module):
 
     in_feature: int
     dtype: jnp.dtype = jnp.float32
-    fused_shuffle: bool = True
+    # "naive": transpose-based shuffle + depthwise blur (reference-shaped)
+    # "phase": fused phase-arithmetic blur-shuffle (exact, faster)
+    # "phase_gm": phase variant with the conv emitting group-major channels
+    #   (static weight-column permutation; params stay transplant-layout) so
+    #   the phase groups are contiguous slices instead of strided gathers
+    shuffle_mode: str = "phase"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        F = self.in_feature
+        out = nn.leaky_relu(
+            nn.Dense(F * 2, dtype=self.dtype, name="layer_1")(x),
+            negative_slope=0.2,
+        )
+        l2 = nn.Dense(F * 4, dtype=self.dtype, name="layer_2")
+        if self.shuffle_mode == "phase_gm":
+            # permute output channels c*4+k -> k*F+c at compute time; the
+            # stored kernel keeps the reference layout for weight transplant
+            perm = np.empty(4 * F, np.int64)
+            for c in range(F):
+                for k in range(4):
+                    perm[k * F + c] = c * 4 + k
+            out2 = nn.leaky_relu(l2(out), negative_slope=0.2)
+            # one static lane gather reorders channels to gm; together with
+            # the gm residual below this removes the 4 strided phase gathers
+            # and the separate channel-tile
+            res_idx = (4 * jnp.arange(F)[None, :] + jnp.arange(4)[:, None]) % F
+            y_gm = x[..., res_idx.reshape(-1)]  # residual in gm order
+            z_gm = out2[..., jnp.asarray(perm)] + y_gm
+            return pixel_shuffle2_blur_gm(z_gm)
         y = jnp.tile(x, (1, 1, 1, 4))
-        out = nn.leaky_relu(
-            nn.Dense(self.in_feature * 2, dtype=self.dtype, name="layer_1")(x),
-            negative_slope=0.2,
-        )
-        out = nn.leaky_relu(
-            nn.Dense(self.in_feature * 4, dtype=self.dtype, name="layer_2")(out),
-            negative_slope=0.2,
-        )
+        out = nn.leaky_relu(l2(out), negative_slope=0.2)
         out = out + y
-        if self.fused_shuffle:
-            # blur(shuffle(.)) as one grouped transposed conv (exact; see
-            # ops.image.pixel_shuffle2_blur)
+        if self.shuffle_mode == "phase":
             return pixel_shuffle2_blur(out)
         out = pixel_shuffle2(out)
         return blur3x3(out)
@@ -71,7 +91,7 @@ class NeuralRenderer(nn.Module):
     featmap_size: int = 64
     img_size: int = 512
     dtype: jnp.dtype = jnp.float32
-    fused_shuffle: bool = True
+    shuffle_mode: str = "phase"
 
     def setup(self):
         import math
@@ -82,7 +102,7 @@ class NeuralRenderer(nn.Module):
             for i in range(self.n_blocks + 1)
         ]
         self.feat_upsample_list = [
-            PixelShuffleUpsample(widths[i], dtype=self.dtype, fused_shuffle=self.fused_shuffle, name=f"feat_upsample_{i}")
+            PixelShuffleUpsample(widths[i], dtype=self.dtype, shuffle_mode=self.shuffle_mode, name=f"feat_upsample_{i}")
             for i in range(self.n_blocks)
         ]
         self.feat_layers = [

@@ -102,12 +102,29 @@ def pixel_shuffle2_blur(x: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C4 = x.shape
     assert C4 % 4 == 0
     C = C4 // 4
-    f = np.array([1.0, 2.0, 1.0]) / 4.0
-    kb = np.outer(f, f)  # 3x3 binomial / 16
 
     # phase groups g[k] = channels k::4  (torch order c*4+k) -- one
     # channel-gather each; XLA lowers to a relayout copy
     g = [x[..., k::4] for k in range(4)]
+    return _phase_shuffle_blur(g, B, H, W, C)
+
+
+def pixel_shuffle2_blur_gm(x: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`pixel_shuffle2_blur` but for group-major channel order
+    (channel ``k*C + c`` = phase k of channel c): the phase groups are
+    CONTIGUOUS slices, avoiding the four strided lane-gathers.  Producers
+    permute their conv weights statically to emit this order (see
+    models.neural_renderer)."""
+    B, H, W, C4 = x.shape
+    assert C4 % 4 == 0
+    C = C4 // 4
+    g = [x[..., k * C : (k + 1) * C] for k in range(4)]
+    return _phase_shuffle_blur(g, B, H, W, C)
+
+
+def _phase_shuffle_blur(g, B, H, W, C):
+    f = np.array([1.0, 2.0, 1.0]) / 4.0
+    kb = np.outer(f, f)  # 3x3 binomial / 16
 
     # edge-replicate ONE block on each side: in shuffled space this
     # reproduces the blur's reflect boundary (shuffled row -1 == row 1 ==
