@@ -49,8 +49,10 @@ class FieldDims(NamedTuple):
     hidden: int  # MLP width (384)
     feat: int  # output feature channels (258)
     samples: int  # samples per ray (64)
-    tile_rays: int  # rays per grid step
+    tile_rays: int  # rays per grid step (forward)
     interpret: bool = False
+    bwd_tile_rays: int = 8  # smaller tiles: backward stashes activations
+    use_pallas_bwd: bool = True
 
 
 def _split_params(params: Dict, dims: FieldDims):
@@ -286,6 +288,14 @@ def _fwd(params, embed, sc, ac, zvals, zdists, dims):
 
 def _bwd(dims, res, g):
     params, embed, sc, ac, zvals, zdists = res
+    if dims.use_pallas_bwd:
+        from gazenerf_tpu.kernels.fused_field_bwd import pallas_backward
+
+        bdims = dims._replace(tile_rays=dims.bwd_tile_rays)
+        dparams, dembed, dsc, dac, dzvals, dzdists = pallas_backward(
+            params, embed, sc, ac, zvals, zdists, bdims, g
+        )
+        return dparams, dembed, dsc, dac, dzvals, dzdists
     _, vjp = jax.vjp(
         lambda *a: xla_reference(*a, dims), params, embed, sc, ac, zvals, zdists
     )

@@ -1,0 +1,343 @@
+"""Fused ray-march field kernel — Pallas backward pass.
+
+Completes the custom VJP of :mod:`gazenerf_tpu.kernels.fused_field`: one
+``pallas_call`` per (batch, ray-tile) grid step that
+
+1. **recomputes** the forward activations for the tile in VMEM (flash-
+   attention-style rematerialization — the [B,R,S,384] activations never
+   exist in HBM),
+2. backpropagates through the volume integration (the transmittance
+   cotangent's suffix sum is a strictly-UPPER-triangular matmul, the mirror
+   of the forward's cumsum-as-matmul) and the 8-layer MLP,
+3. **accumulates the weight gradients in VMEM across grid steps**: every dW
+   output uses a constant index map, so Pallas keeps the block resident for
+   the whole grid; step (0, 0) initializes, later steps add (the standard
+   Pallas K-loop accumulation pattern).
+
+Conditioning-code gradients come out as per-batch bias-row cotangents
+(``dcb*``); the XLA epilogue in fused_field.py folds them back into the
+reference-layout parameter tree (``dW0c = sc^T @ dcb0`` etc.).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gazenerf_tpu.kernels.fused_field import FieldDims, _split_params
+
+_EPS = 1e-10
+
+
+def _bwd_kernel(dims: FieldDims):
+    De, H, C, S, TR = dims.embed, dims.hidden, dims.feat, dims.samples, dims.tile_rays
+    H2 = H // 2
+    N = TR * S
+
+    def kernel(
+        # inputs (tiled / const)
+        embed_ref, zvals_ref, zdists_ref,
+        cb0_ref, cb5_ref, cbr1_ref,
+        W0e_ref, Wmid_ref, bmid_ref, W5e_ref, W5x_ref,
+        Wd_ref, bd_ref, Wr0_ref, br0_ref, Wr1x_ref, Wr2_ref, br2_ref,
+        gfeat_ref, gbga_ref, gdepth_ref, gw_ref,
+        # outputs
+        dembed_ref, dzvals_ref, dzdists_ref,
+        dcb0_ref, dcb5_ref, dcbr1_ref,
+        dW0e_ref, dWmid_ref, dbmid_ref, dW5e_ref, dW5x_ref,
+        dWd_ref, dbd_ref, dWr0_ref, dbr0_ref, dWr1x_ref, dWr2_ref, dbr2_ref,
+    ):
+        f32 = jnp.float32
+        bf = jnp.bfloat16
+        bidx = pl.program_id(0)
+        ridx = pl.program_id(1)
+        is_first = (bidx == 0) & (ridx == 0)
+        is_first_of_batch = ridx == 0
+
+        def dense(x, w):
+            return jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        def dense_t(g, w):  # g @ w^T
+            return jax.lax.dot_general(
+                g, w, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            )
+
+        def outer(x, g):  # x^T @ g
+            return jax.lax.dot_general(
+                x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        # ---------- forward recompute (stash activations) ----------
+        embed = embed_ref[0].reshape(N, De).astype(bf)
+        acts = []
+        x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
+        x = jnp.maximum(x, 0.0).astype(bf)
+        acts.append(x)  # x0
+        mid = 0
+        for i in range(1, 8):
+            if i == 5:
+                x = (
+                    dense(embed, W5e_ref[...].astype(bf))
+                    + dense(x, W5x_ref[...].astype(bf))
+                    + cb5_ref[bidx][None, :]
+                )
+            else:
+                x = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
+                mid += 1
+            x = jnp.maximum(x, 0.0).astype(bf)
+            acts.append(x)
+        x7 = acts[7]
+        dens_pre = dense(x7, Wd_ref[...].astype(bf)) + bd_ref[...][None, :]
+        sigma = jnp.maximum(dens_pre, 0.0).reshape(TR, S)
+        y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+        y0b = y0.astype(bf)
+        y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
+        y1 = jnp.maximum(y1, 0.0).astype(bf)
+        feat = dense(y1, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]  # [N,C] f32
+
+        zdists = zdists_ref[0]
+        zvals = zvals_ref[0]
+        expterm = jnp.exp(-sigma * zdists)  # [TR, S]
+        alpha = 1.0 - expterm
+        logx = jnp.log(1.0 - alpha + _EPS)
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        ltri = (row < col).astype(f32)
+        utri = (row > col).astype(f32)
+        trans = jnp.exp(dense(logx, ltri))
+        w = alpha * trans  # [TR, S]
+        feat3 = feat.reshape(TR, S, C)
+
+        # ---------- integration backward ----------
+        gfeat = gfeat_ref[0]  # [TR, C]
+        gbga = gbga_ref[0][:, 0]  # [TR]
+        gdepth = gdepth_ref[0][:, 0]  # [TR]
+        gw_in = gw_ref[0]  # [TR, S]
+
+        dfeat3 = w[:, :, None] * gfeat[:, None, :]  # [TR, S, C]
+        dw_t = (
+            jnp.sum(feat3 * gfeat[:, None, :], axis=-1)
+            + zvals * gdepth[:, None]
+            - gbga[:, None]
+            + gw_in
+        )  # [TR, S]
+        # suffix sum over t > s of (w * dw) via upper-triangular matmul
+        suffix = dense(w * dw_t, utri)  # [TR, S]
+        dalpha = dw_t * trans - suffix / (1.0 - alpha + _EPS)
+        dsigma = dalpha * zdists * expterm
+        ddists = dalpha * sigma * expterm
+        dzv = w * gdepth[:, None]
+
+        dzvals_ref[0] = dzv
+        dzdists_ref[0] = ddists
+
+        # ---------- head backward ----------
+        dpre_dens = jnp.where(dens_pre > 0.0, 1.0, 0.0) * dsigma.reshape(N, 1)
+        dfeat = dfeat3.reshape(N, C)
+
+        dy1 = dense_t(dfeat, Wr2_ref[...].astype(f32))  # [N, H2]
+        dy1 = jnp.where(y1.astype(f32) > 0.0, dy1, 0.0)
+        dy0 = dense_t(dy1, Wr1x_ref[...].astype(f32))  # [N, H]
+        dx = (
+            dense_t(dpre_dens, Wd_ref[...].astype(f32))
+            + dense_t(dy0, Wr0_ref[...].astype(f32))
+        )
+
+        # head weight grads
+        def acc(ref, val, first=is_first):
+            @pl.when(first)
+            def _():
+                ref[...] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                ref[...] += val
+
+        acc(dWr2_ref, outer(y1, dfeat.astype(bf)))
+        acc(dbr2_ref, jnp.sum(dfeat, axis=0))
+        acc(dWr1x_ref, outer(y0b, dy1.astype(bf)))
+        acc(dWr0_ref, outer(x7, dy0.astype(bf)))
+        acc(dbr0_ref, jnp.sum(dy0, axis=0))
+        acc(dWd_ref, outer(x7, dpre_dens.astype(bf)))
+        acc(dbd_ref, jnp.sum(dpre_dens, axis=0))
+        # per-batch conditioning rows: reset at each batch's first tile
+        acc(dcbr1_ref, jnp.sum(dy1, axis=0)[None, None, :], first=is_first_of_batch)
+
+        # ---------- trunk backward (layers 7 -> 0) ----------
+        dembed_acc = jnp.zeros((N, De), f32)
+        mid = 5  # Wmid holds layers (1,2,3,4,6,7); walk backwards
+        for i in range(7, 0, -1):
+            dpre = jnp.where(acts[i].astype(f32) > 0.0, dx, 0.0)
+            if i == 5:
+                acc(dW5e_ref, outer(embed, dpre.astype(bf)))
+                acc(dW5x_ref, outer(acts[4], dpre.astype(bf)))
+                acc(dcb5_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
+                dembed_acc = dembed_acc + dense_t(
+                    dpre, W5e_ref[...].astype(f32)
+                )
+                dx = dense_t(dpre, W5x_ref[...].astype(f32))
+            else:
+                acc_slot = mid
+                acc(
+                    dWmid_ref.at[acc_slot],
+                    outer(acts[i - 1], dpre.astype(bf)),
+                )
+                acc(dbmid_ref.at[acc_slot], jnp.sum(dpre, axis=0))
+                dx = dense_t(dpre, Wmid_ref[acc_slot].astype(f32))
+                mid -= 1
+        dpre = jnp.where(acts[0].astype(f32) > 0.0, dx, 0.0)
+        acc(dW0e_ref, outer(embed, dpre.astype(bf)))
+        acc(dcb0_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
+        dembed_acc = dembed_acc + dense_t(dpre, W0e_ref[...].astype(f32))
+
+        dembed_ref[0] = dembed_acc.reshape(TR, S, De)
+
+    return kernel
+
+
+def pallas_backward(params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims, g):
+    """Run the backward kernel; returns cotangents for
+    ``(params, embed, sc, ac, zvals, zdists)``."""
+    B, R, S, De = embed.shape
+    TR = dims.tile_rays
+    H, C = dims.hidden, dims.feat
+    H2 = H // 2
+    p = _split_params(params, dims)
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    gfeat, gbga, gdepth, gw = g
+    gbga3 = gbga[..., None]
+    gdepth3 = gdepth[..., None]
+
+    cb0 = (sc @ p["W0c"] + p["b0"]).astype(f32)
+    cb5 = (sc @ p["W5c"] + p["b5"]).astype(f32)
+    cbr1 = (ac @ p["Wr1c"] + p["br1"]).astype(f32)
+
+    weights = [
+        p["W0e"].astype(bf), p["Wmid"].astype(bf), p["bmid"].astype(f32),
+        p["W5e"].astype(bf), p["W5x"].astype(bf),
+        p["Wd"].astype(bf), p["bd"].astype(f32),
+        p["Wr0"].astype(bf), p["br0"].astype(f32),
+        p["Wr1x"].astype(bf),
+        p["Wr2"].astype(bf), p["br2"].astype(f32),
+    ]
+
+    grid = (B, R // TR)
+    vm = pltpu.VMEM
+    tile = lambda shape, imap: pl.BlockSpec(shape, imap, memory_space=vm)  # noqa: E731
+    const = lambda arr: pl.BlockSpec(  # noqa: E731
+        arr.shape, lambda b, r: (0,) * arr.ndim, memory_space=vm
+    )
+
+    def const_shape(shape):
+        return pl.BlockSpec(shape, lambda b, r: (0,) * len(shape), memory_space=vm)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, R, S, De), f32),  # dembed
+        jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
+        jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
+        jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
+        jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb5
+        jax.ShapeDtypeStruct((B, 1, H2), f32),  # dcbr1
+        jax.ShapeDtypeStruct((De, H), f32),  # dW0e
+        jax.ShapeDtypeStruct((6, H, H), f32),  # dWmid
+        jax.ShapeDtypeStruct((6, H), f32),  # dbmid
+        jax.ShapeDtypeStruct((De, H), f32),  # dW5e
+        jax.ShapeDtypeStruct((H, H), f32),  # dW5x
+        jax.ShapeDtypeStruct((H, 1), f32),  # dWd
+        jax.ShapeDtypeStruct((1,), f32),  # dbd
+        jax.ShapeDtypeStruct((H, H), f32),  # dWr0
+        jax.ShapeDtypeStruct((H,), f32),  # dbr0
+        jax.ShapeDtypeStruct((H, H2), f32),  # dWr1x
+        jax.ShapeDtypeStruct((H2, C), f32),  # dWr2
+        jax.ShapeDtypeStruct((C,), f32),  # dbr2
+    ]
+    out_specs = [
+        tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+        tile((1, TR, S), lambda b, r: (b, r, 0)),
+        tile((1, TR, S), lambda b, r: (b, r, 0)),
+        pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 1, H2), lambda b, r: (b, 0, 0), memory_space=vm),
+        const_shape((De, H)),
+        const_shape((6, H, H)),
+        const_shape((6, H)),
+        const_shape((De, H)),
+        const_shape((H, H)),
+        const_shape((H, 1)),
+        const_shape((1,)),
+        const_shape((H, H)),
+        const_shape((H,)),
+        const_shape((H, H2)),
+        const_shape((H2, C)),
+        const_shape((C,)),
+    ]
+
+    outs = pl.pallas_call(
+        _bwd_kernel(dims),
+        grid=grid,
+        in_specs=[
+            tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            const(cb0), const(cb5), const(cbr1),
+        ]
+        + [const(w) for w in weights]
+        + [
+            tile((1, TR, C), lambda b, r: (b, r, 0)),
+            tile((1, TR, 1), lambda b, r: (b, r, 0)),
+            tile((1, TR, 1), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=dims.interpret,
+    )(
+        embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights,
+        gfeat, gbga3, gdepth3, gw,
+    )
+
+    (
+        dembed, dzvals, dzdists, dcb0, dcb5, dcbr1,
+        dW0e, dWmid, dbmid, dW5e, dW5x, dWd, dbd,
+        dWr0, dbr0, dWr1x, dWr2, dbr2,
+    ) = outs
+
+    dcb0 = dcb0[:, 0, :]
+    dcb5 = dcb5[:, 0, :]
+    dcbr1 = dcbr1[:, 0, :]
+
+    # fold conditioning-row cotangents back into reference-layout params
+    dW0c = sc.T @ dcb0
+    dW5c = sc.T @ dcb5
+    dWr1c = ac.T @ dcbr1
+    dsc = dcb0 @ p["W0c"].T + dcb5 @ p["W5c"].T
+    dac = dcbr1 @ p["Wr1c"].T
+
+    dparams = {
+        "fea_0/kernel": jnp.concatenate([dW0e, dW0c], axis=0),
+        "fea_0/bias": jnp.sum(dcb0, axis=0),
+        "fea_5/kernel": jnp.concatenate([dW5e, dW5c, dW5x], axis=0),
+        "fea_5/bias": jnp.sum(dcb5, axis=0),
+        "density/kernel": dWd,
+        "density/bias": dbd,
+        "rgb_0/kernel": dWr0,
+        "rgb_0/bias": dbr0,
+        "rgb_1/kernel": jnp.concatenate([dWr1x, dWr1c], axis=0),
+        "rgb_1/bias": jnp.sum(dcbr1, axis=0),
+        "rgb_2/kernel": dWr2,
+        "rgb_2/bias": dbr2,
+    }
+    mids = (1, 2, 3, 4, 6, 7)
+    for slot, i in enumerate(mids):
+        dparams[f"fea_{i}/kernel"] = dWmid[slot]
+        dparams[f"fea_{i}/bias"] = dbmid[slot]
+
+    return dparams, dembed, dsc, dac, dzvals, dzdists

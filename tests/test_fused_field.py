@@ -77,3 +77,46 @@ def test_gradients_flow(rng):
         assert np.isfinite(np.asarray(leaf)).all()
     assert float(jnp.abs(g[1]).max()) > 0  # embed grads nonzero
     assert float(jnp.abs(g[2]).max()) > 0  # shape-code grads nonzero
+
+
+def test_pallas_backward_matches_f32_truth(rng):
+    """The Pallas backward is as close to f32-truth as (or closer than) the
+    bf16 XLA autodiff (both ~1% rel L2 from bf16 quantization)."""
+    from gazenerf_tpu.ops.integrate import integrate_rays
+
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True)
+    embed, sc, ac, zvals, zdists = args
+
+    def loss_kernel(params, embed, sc, ac):
+        f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, dims)
+        return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+    def loss_truth(params, embed, sc, ac):
+        feat, dens = mlp.apply({"params": params}, embed, sc, ac)
+        o = integrate_rays(feat, dens[..., 0], zdists, zvals)
+        return (
+            jnp.sum(o.features**2) + jnp.sum(o.bg_alpha**2)
+            + jnp.sum(o.depth**2) + jnp.sum(o.weights**2)
+        )
+
+    def loss_xla(params, embed, sc, ac):
+        f, bga, dep, w = xla_reference(params, embed, sc, ac, zvals, zdists, dims)
+        return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    gt = jax.grad(loss_truth, argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+
+    def rel_l2(a, b):
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        num = sum(float(jnp.sum((x - y) ** 2)) for x, y in zip(la, lb))
+        den = sum(float(jnp.sum(y**2)) for y in lb)
+        return (num / max(den, 1e-12)) ** 0.5
+
+    # both bf16 paths deviate from f32 truth by bf16 quantization noise; the
+    # kernel must be within 2x of the bf16 XLA autodiff's own deviation
+    for i, name in enumerate(["params", "embed", "sc", "ac"]):
+        k_err = rel_l2(gk[i], gt[i])
+        x_err = rel_l2(gx[i], gt[i])
+        assert k_err < max(2.0 * x_err, 0.03), (name, k_err, x_err)
