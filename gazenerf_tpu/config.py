@@ -66,6 +66,8 @@ class ModelConfig:
     # use the fused Pallas ray-march kernel on TPU (falls back to XLA path
     # automatically on other backends)
     use_pallas: bool = True
+    # run the Pallas kernel in interpret mode on non-TPU backends (tests)
+    pallas_interpret: bool = False
 
     @property
     def shape_code_dims(self) -> int:

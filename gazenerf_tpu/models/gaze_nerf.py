@@ -84,6 +84,33 @@ class GazeNeRF(nn.Module):
             name="neural_render",
         )
 
+    def _fused_dims(self, embed: jnp.ndarray):
+        """FieldDims for the fused Pallas path, or None if it doesn't apply.
+
+        The fused kernel computes in bf16 (like the XLA bf16 path) and only
+        exists for TPU backends, so it is gated on ``compute_dtype=bfloat16``
+        and the default backend; any other case falls back to the XLA path.
+        """
+        cfg = self.cfg
+        if not cfg.use_pallas or cfg.compute_dtype != "bfloat16":
+            return None
+        interpret = False
+        if jax.default_backend() != "tpu":
+            if not cfg.pallas_interpret:
+                return None
+            interpret = True
+        from gazenerf_tpu.kernels.fused_field import default_dims
+
+        B, R, S, De = embed.shape
+        # keep ray-tiles at <=2048 points so VMEM holds the f32 intermediates
+        tr = max(8, 2048 // S)
+        while R % tr:
+            tr //= 2
+        dims = default_dims(cfg, interpret=interpret)._replace(
+            samples=S, tile_rays=tr, bwd_tile_rays=min(8, tr)
+        )
+        return dims if R % dims.tile_rays == 0 else None
+
     def _render_branch(
         self,
         field: NeRFFieldMLP,
@@ -94,6 +121,18 @@ class GazeNeRF(nn.Module):
         embed_vd: jnp.ndarray = None,
     ):
         """Field evaluation + volume integration for one stream."""
+        if embed_vd is None:
+            dims = self._fused_dims(embed)
+            if dims is not None:
+                feat_int, bg_alpha, depth, w = field.fused_render(
+                    embed, shape_ext_code, appea_code,
+                    samples.zvals, samples.z_dists, dims,
+                )
+                from gazenerf_tpu.ops.integrate import Integrated
+
+                return Integrated(
+                    features=feat_int, bg_alpha=bg_alpha, depth=depth, weights=w
+                )
         feat, density = field(embed, shape_ext_code, appea_code, embed_vd)
         out = integrate_rays(
             feat.astype(jnp.float32),
@@ -174,7 +213,6 @@ class GazeNeRF(nn.Module):
         bg_alpha_eyes = eyes.bg_alpha.reshape(B, F, F, 1)
 
         bg_featmap = self.neural_render.get_bg_featmap()
-        bg_img = self.neural_render(bg_featmap)
 
         merge_featmap_face = fg_feat_face + bg_alpha_face * bg_featmap
         merge_featmap_eyes = fg_feat_eyes + bg_alpha_eyes * bg_featmap
@@ -182,11 +220,20 @@ class GazeNeRF(nn.Module):
         eyes_planes = rotate_feature_planes(
             merge_featmap_eyes, gaze_code.reshape(B, 2)
         )
-
-        merge_img_face = self.neural_render(merge_featmap_face)
-        merge_img_eyes = self.neural_render(eyes_planes)
         merge_featmap = jnp.maximum(merge_featmap_face, eyes_planes)
-        merge_img = self.neural_render(merge_featmap)
+
+        # one batched renderer pass for bg + face + eyes + merge: the
+        # reference runs 4 sequential CNN forwards (models/gaze_nerf.py:175,
+        # 186-189); stacking them along batch keeps the MXU fed with 4x the
+        # rows per matmul for the same weights (identical math per image)
+        stacked = jnp.concatenate(
+            [bg_featmap, merge_featmap_face, eyes_planes, merge_featmap], axis=0
+        )
+        imgs = self.neural_render(stacked)
+        bg_img = imgs[:1]
+        merge_img_face = imgs[1 : 1 + B]
+        merge_img_eyes = imgs[1 + B : 1 + 2 * B]
+        merge_img = imgs[1 + 2 * B :]
 
         res: Dict[str, Any] = {
             "coarse_dict": {

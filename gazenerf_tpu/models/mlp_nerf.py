@@ -52,6 +52,10 @@ class NeRFFieldMLP(nn.Module):
     first ``embed_dims`` rows act on the positional embedding and the rest on
     the conditioning code (matching the reference concat order
     ``cat([vp_embed, shape_ext_code])`` — models/gaze_nerf.py:137).
+
+    Params are created in ``setup`` (not ``@nn.compact``) so both the XLA
+    ``__call__`` path and :meth:`fused_render` (the fused Pallas ray-march
+    kernel, which consumes the raw flat param dict) share one param tree.
     """
 
     embed_dims: int  # positional embedding width (63)
@@ -66,7 +70,43 @@ class NeRFFieldMLP(nn.Module):
     def vp_channels(self) -> int:
         return self.embed_dims + self.cond_dims
 
-    @nn.compact
+    def setup(self):
+        H = self.hidden
+        skip_at = self.n_layers // 2  # = 4 (reference models/mlp_nerf.py:24)
+        specs = [("fea_0", self.vp_channels, H)]
+        for i in range(1, self.n_layers):
+            cin = self.vp_channels + H if i == skip_at + 1 else H
+            specs.append((f"fea_{i}", cin, H))
+        specs += [
+            ("density", H, 1),
+            ("rgb_0", H, H),
+            ("rgb_1", H + self.vd_cond_dims, H // 2),
+            ("rgb_2", H // 2, self.res_nfeat),
+        ]
+        flat = {}
+        for name, cin, cout in specs:
+            flat[f"{name}/kernel"] = self.param(
+                f"{name}/kernel", _kernel_init(), (cin, cout), jnp.float32
+            )
+            flat[f"{name}/bias"] = self.param(
+                f"{name}/bias", nn.initializers.zeros, (cout,), jnp.float32
+            )
+        self.flat = flat
+
+    def fused_render(self, embed_vp, shape_cond, appea_cond, zvals, zdists, dims):
+        """Fused Pallas field evaluation + volume integration (TPU).
+
+        Returns ``(feat_int [B,R,C], bg_alpha [B,R], depth [B,R], w [B,R,S])``
+        — the field MLP and the alpha-compositing integration run per ray-tile
+        in VMEM; the ``[B,R,S,258]`` feature volume never exists in HBM.
+        """
+        from gazenerf_tpu.kernels.fused_field import fused_field_render
+
+        # flax freezes dict attributes; the custom VJP produces a plain dict
+        return fused_field_render(
+            dict(self.flat), embed_vp, shape_cond, appea_cond, zvals, zdists, dims
+        )
+
     def __call__(
         self,
         embed_vp: jnp.ndarray,
@@ -94,8 +134,8 @@ class NeRFFieldMLP(nn.Module):
         bshape = (B,) + (1,) * (embed_vp.ndim - 2)  # broadcast over rays/samples
 
         def param(name, cin, cout):
-            k = self.param(f"{name}/kernel", _kernel_init(), (cin, cout), jnp.float32)
-            b = self.param(f"{name}/bias", nn.initializers.zeros, (cout,), jnp.float32)
+            k = self.flat[f"{name}/kernel"]
+            b = self.flat[f"{name}/bias"]
             return k.astype(self.dtype), b.astype(self.dtype)
 
         x = embed_vp.astype(self.dtype)

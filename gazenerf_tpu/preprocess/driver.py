@@ -28,7 +28,11 @@ except ImportError:  # pragma: no cover
 import h5py
 
 from gazenerf_tpu.preprocess.landmarks import LandmarkDetector
-from gazenerf_tpu.preprocess.masks import BiSeNetMasker, landmark_masks
+from gazenerf_tpu.preprocess.masks import (
+    BiSeNetMasker,
+    UNetEyeMasker,
+    landmark_masks,
+)
 from gazenerf_tpu.preprocess.normalize import (
     NORMALIZATION_PRESETS,
     estimate_head_pose,
@@ -81,6 +85,7 @@ def process_frame(
     face_model_3d: np.ndarray,
     landmark_detector: LandmarkDetector,
     masker: Optional[BiSeNetMasker] = None,
+    eye_masker: Optional[UNetEyeMasker] = None,
     gaze_vector: Optional[np.ndarray] = None,
     cam_index: int = 0,
     img_size: int = 512,
@@ -109,6 +114,30 @@ def process_frame(
 
     if masker is not None and masker.available:
         head, left, right = masker(warped.astype(np.float32) / 255.0, cam_index)
+        # tier-2 U-Net fallback when BiSeNet finds no eye pixels (the
+        # reference's second_net pass, gen_all_masks.py:117-143); the
+        # per-camera half-profile cases legitimately have one empty side
+        want_left = cam_index not in (14, 15)
+        want_right = cam_index not in (11, 12)
+        missing_left = want_left and not left.any()
+        missing_right = want_right and not right.any()
+        if (missing_left or missing_right) and (
+            eye_masker is not None and eye_masker.available
+        ):
+            u_left, u_right = eye_masker(warped.astype(np.float32) / 255.0)
+            if missing_left:
+                left = u_left
+            if missing_right:
+                right = u_right
+            missing_left = want_left and not left.any()
+            missing_right = want_right and not right.any()
+        # tier-3 landmark rectangles for any side still empty
+        if missing_left or missing_right:
+            _, lm_left, lm_right = landmark_masks(lm_norm, img_size, cam_index)
+            if missing_left:
+                left = lm_left
+            if missing_right:
+                right = lm_right
     else:
         head, left, right = landmark_masks(lm_norm, img_size, cam_index)
 

@@ -9,10 +9,13 @@ Three tiers, matching the reference's fallback chain:
 1. :class:`BiSeNetMasker` — flax port of the BiSeNet face-parsing net
    (19 classes -> head mask via label LUT + hair correction).  Requires
    transplanted weights; architecture-complete otherwise.
-2. landmark-polygon masks (:func:`landmark_masks`) — works with no weights
+2. :class:`UNetEyeMasker` — flax port of the U-Net eye segmenter the
+   reference runs when BiSeNet finds no eye pixels
+   (gen_all_masks.py:117-143; net pre_processing/unet.py:6-77).
+3. landmark-polygon masks (:func:`landmark_masks`) — works with no weights
    at all (reference gen_all_masks.py's last resort + the eye-region
    rectangles of datasets/eth_xgaze.py:14-67).
-3. mask cleanup (:func:`correct_head_mask`) — largest-connected-component +
+4. mask cleanup (:func:`correct_head_mask`) — largest-connected-component +
    hole fill + erosion, reference correct_head_mask.py:5-61.
 """
 
@@ -146,3 +149,44 @@ class BiSeNetMasker:
         elif cam_index in (14, 15):
             left = np.zeros_like(left)
         return head, left, right
+
+
+class UNetEyeMasker:
+    """U-Net eye-segmentation fallback (flax port of the reference's
+    ``second_net``, gen_all_masks.py:47-66,117-143).
+
+    The reference normalizes the warped frame to [-1, 1]
+    ((x - 0.5) / 0.5, gen_all_masks.py:61-66), takes the 19-class argmax,
+    LUTs the two eye labels to 255 and splits left/right by image half.
+    """
+
+    def __init__(self, variables=None):
+        from gazenerf_tpu.preprocess.unet import UNet
+
+        import jax
+
+        self.net = UNet(n_classes=19)
+        self.variables = variables
+        if variables is not None:
+            self._apply = jax.jit(lambda img: self.net.apply(self.variables, img))
+
+    @property
+    def available(self) -> bool:
+        return self.variables is not None
+
+    def __call__(self, img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """``img``: [H, W, 3] float [0,1] -> (left_eye, right_eye) u8."""
+        import jax.numpy as jnp
+
+        assert self.available, "UNetEyeMasker needs transplanted weights"
+        x = (np.asarray(img, np.float32) - 0.5) / 0.5
+        logits = np.asarray(self._apply(jnp.asarray(x)[None]))[0]
+        labels = logits.argmax(-1)
+        eyes = np.isin(labels, (LEFT_EYE_LABEL, RIGHT_EYE_LABEL)).astype(np.uint8)
+        eyes = eyes * 255
+        w = eyes.shape[1]
+        left = eyes.copy()
+        left[:, w // 2 :] = 0
+        right = eyes.copy()
+        right[:, : w // 2] = 0
+        return left, right

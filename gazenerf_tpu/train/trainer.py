@@ -149,7 +149,11 @@ def make_train_step(
     expr_fix = jnp.asarray(expr_fix, jnp.float32)
     bg_value = 1.0 if m.bg_type == "white" else 0.0
 
-    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step_fn(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        eye_imp: Optional[jnp.ndarray] = None,
+    ):
         B = batch["image"].shape[0]
         xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
         rng = jax.random.fold_in(state.rng, state.step)
@@ -221,6 +225,7 @@ def make_train_step(
             losses = compute_losses(
                 cfg.loss, pred, gt, hm, lm, rm,
                 bg_value=bg_value,
+                eye_loss_importance=eye_imp,
                 vgg_capture_fn=frozen.vgg_capture_fn(),
                 gaze_fn=frozen.gaze_fn(),
                 disc_fn=disc_fn,
@@ -353,9 +358,20 @@ class Trainer:
     def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
         total, n = 0.0, 0
         t0 = time.time()
+        # gradual-loss schedule: the reference bumps eye_loss_importance by
+        # +30 after every epoch (losses/gazenerf_loss.py:255-261, driven from
+        # trainer/base.py:150-154); passed as a traced scalar — no recompile
+        eye_imp = None
+        if self.cfg.loss.is_gradual_loss:
+            eye_imp = jnp.float32(
+                self.cfg.loss.eye_loss_importance + 30.0 * epoch
+            )
         for batch in loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, losses = self.train_step(self.state, jb)
+            if eye_imp is None:
+                self.state, losses = self.train_step(self.state, jb)
+            else:
+                self.state, losses = self.train_step(self.state, jb, eye_imp)
             total += float(losses["total_loss"])
             n += 1
         dt = time.time() - t0

@@ -120,3 +120,53 @@ def test_pallas_backward_matches_f32_truth(rng):
         k_err = rel_l2(gk[i], gt[i])
         x_err = rel_l2(gx[i], gt[i])
         assert k_err < max(2.0 * x_err, 0.03), (name, k_err, x_err)
+
+
+def test_model_fused_path_matches_xla(rng):
+    """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
+    from gazenerf_tpu.config import ModelConfig
+    from gazenerf_tpu.models.gaze_nerf import GazeNeRF
+    from gazenerf_tpu.ops import pixel_grid
+
+    def mk(use_pallas):
+        return GazeNeRF(ModelConfig(
+            num_sample_coarse=8, featmap_size=16, featmap_nc=258,
+            pred_img_size=64, mlp_hidden=64,
+            compute_dtype="bfloat16", use_pallas=use_pallas,
+            pallas_interpret=True,
+        ))
+
+    B = 2
+    xy = jnp.asarray(np.asarray(pixel_grid(16))[None].repeat(B, 0))
+    shape = jnp.asarray((rng.standard_normal((B, 179)) * 0.1).astype(np.float32))
+    appea = jnp.asarray((rng.standard_normal((B, 127)) * 0.1).astype(np.float32))
+    gaze = jnp.asarray((rng.standard_normal((B, 2)) * 0.3).astype(np.float32))
+    R = jnp.asarray(np.diag([1.0, -1.0, -1.0]).astype(np.float32)[None].repeat(B, 0))
+    T = jnp.zeros((B, 3, 1)).at[:, 2, 0].set(12.0)
+    Kinv = jnp.asarray(np.array(
+        [[0.0077908 * 2, 0.0, -0.1255383],
+         [0.0, 0.0077908 * 2, -0.1283246],
+         [0.0, 0.0, 1.0]], np.float32)[None].repeat(B, 0))
+
+    m_x, m_p = mk(False), mk(True)
+    params = m_x.init(jax.random.PRNGKey(0), xy, shape, appea, gaze, R, T, Kinv)
+
+    out_x = m_x.apply(params, xy, shape, appea, gaze, R, T, Kinv)
+    out_p = m_p.apply(params, xy, shape, appea, gaze, R, T, Kinv)
+    np.testing.assert_allclose(
+        np.asarray(out_p["coarse_dict"]["merge_img"]),
+        np.asarray(out_x["coarse_dict"]["merge_img"]),
+        atol=3e-2,
+    )
+
+    def loss(variant, p):
+        o = variant.apply(p, xy, shape, appea, gaze, R, T, Kinv)
+        return jnp.mean(o["coarse_dict"]["merge_img"] ** 2)
+
+    gp = jax.grad(lambda p: loss(m_p, p))(params)
+    gx = jax.grad(lambda p: loss(m_x, p))(params)
+    lp, lx = jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)
+    assert all(np.isfinite(np.asarray(a)).all() for a in lp)
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(lp, lx))
+    den = sum(float(jnp.sum(b**2)) for b in lx)
+    assert (num / max(den, 1e-12)) ** 0.5 < 0.15

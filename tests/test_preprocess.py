@@ -200,3 +200,42 @@ def test_nl3dmm_fitting_reduces_loss(basis):
     # output cameras invert correctly
     RT = res["w2c_Rmat"][0] @ res["c2w_Rmat"][0]
     np.testing.assert_allclose(RT, np.eye(3), atol=1e-5)
+
+
+def test_unet_parity_with_reference():
+    """flax U-Net == reference pre_processing/unet.py on transplanted weights."""
+    import sys
+    import torch
+
+    from reference_oracle import REFERENCE_ROOT
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from pre_processing.unet import unet as TorchUNet
+
+    from gazenerf_tpu.preprocess.unet import UNet, unet_params_from_torch
+
+    torch.manual_seed(3)
+    tnet = TorchUNet()
+    tnet.eval()
+    # make BN running stats non-trivial
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(x)).numpy()  # [1, 19, H, W]
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params, stats = unet_params_from_torch(sd)
+    jnet = UNet()
+    out_j = jnet.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=2e-4, rtol=1e-3
+    )

@@ -169,3 +169,46 @@ def test_degenerate_mask_batch_skipped(synth_dir, tmp_path):
     loader = BatchLoader(ds, batch_size=2, num_workers=1)
     batches = list(loader)
     assert len(batches) == 1  # first batch (with frame 1) dropped
+
+
+def test_gradual_loss_schedule(loader_and_ds):
+    """Gradual mode scales the angular loss by base + 30*epoch
+    (reference losses/gazenerf_loss.py:255-261, trainer/base.py:150-154)."""
+    from gazenerf_tpu.losses.gazenerf_loss import compute_losses
+
+    cfg = tiny_config(is_gradual_loss=True, use_angular_loss=True)
+    loader, ds = loader_and_ds
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=3)
+
+    batch = next(iter(loader))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # the per-epoch importance reaches the loss: the angular term scales
+    # linearly in eye_loss_importance
+    pred = {
+        "coarse_dict": {
+            "merge_img": jnp.broadcast_to(
+                jnp.linspace(0.2, 0.8, 64)[None, :, None, None], (2, 64, 64, 3)
+            ),
+            "merge_img_face": jnp.full((2, 64, 64, 3), 0.5),
+            "merge_img_eyes": jnp.full((2, 64, 64, 3), 0.5),
+            "bg_img": jnp.ones((1, 64, 64, 3)),
+        }
+    }
+    gaze_fn = lambda img: (jnp.mean(img, axis=(1, 2))[:, :2], None)  # noqa: E731
+    kw = dict(
+        gt_rgb=jb["image"],
+        head_mask=jb["head_mask"][..., None],
+        left_eye_mask=jb["left_eye_mask"][..., None],
+        right_eye_mask=jb["right_eye_mask"][..., None],
+        gaze_fn=gaze_fn,
+    )
+    l0 = compute_losses(cfg.loss, pred, eye_loss_importance=jnp.float32(25.0), **kw)
+    l1 = compute_losses(cfg.loss, pred, eye_loss_importance=jnp.float32(55.0), **kw)
+    a0, a1 = float(l0["angular"]), float(l1["angular"])
+    assert a0 > 0
+    np.testing.assert_allclose(a1 / a0, 55.0 / 25.0, rtol=1e-5)
+
+    # epoch loop passes the schedule through without recompiling per epoch
+    tr.train_epoch(loader, epoch=0)
+    tr.train_epoch(loader, epoch=1)
