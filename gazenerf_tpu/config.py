@@ -68,6 +68,11 @@ class ModelConfig:
     use_pallas: bool = True
     # run the Pallas kernel in interpret mode on non-TPU backends (tests)
     pallas_interpret: bool = False
+    # run the 4 neural-renderer passes (bg/face/eyes/merge) as one batched
+    # call instead of sequentially (identical math).  Measured SLOWER on
+    # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the
+    # pixel-shuffle transposes than 4 small passes) — default off.
+    batch_renderer_passes: bool = False
 
     @property
     def shape_code_dims(self) -> int:

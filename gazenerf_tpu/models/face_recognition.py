@@ -21,6 +21,7 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gazenerf_tpu.ops.image import resize_bilinear
 
@@ -110,3 +111,99 @@ def make_identity_embed_fn(variables=None, rng: Optional[jax.Array] = None) -> C
         return net.apply(variables, x)
 
     return embed
+
+
+# ---------------------------------------------------------------------------
+# Full FaceX-Zoo pipeline: detect -> align -> arcface-crop -> embed
+# (reference face_recognition/evaluation_similarity.py:16-86)
+
+# 106-landmark ids of the 5 arcface alignment points (reference
+# face_recognition/utils/lms_trans.py lms5_2_lms106, 1-based -> 0-based)
+LMS5_FROM_106 = (104, 105, 54, 84, 90)
+
+# arcface 112x112 reference points (reference
+# face_recognition/core/image_cropper/arcface_cropper/FaceRecImageCropper.py)
+ARCFACE_SRC = np.array(
+    [
+        [38.2946, 51.6963],
+        [73.5318, 51.5014],
+        [56.0252, 71.7366],
+        [41.5493, 92.3655],
+        [70.7299, 92.2041],
+    ],
+    np.float32,
+)
+
+
+def umeyama_similarity(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Least-squares similarity transform src -> dst, ``[2, 3]``.
+
+    NumPy implementation of the Umeyama (1991) estimate the reference gets
+    from ``skimage.transform.SimilarityTransform`` (FaceRecImageCropper.py).
+    """
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    n, d = src.shape
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    sc, dc = src - mu_s, dst - mu_d
+    cov = dc.T @ sc / n
+    U, S, Vt = np.linalg.svd(cov)
+    sgn = np.ones(d)
+    if np.linalg.det(cov) < 0:
+        sgn[-1] = -1
+    R = U @ np.diag(sgn) @ Vt
+    var_s = (sc**2).sum() / n
+    scale = (S * sgn).sum() / max(var_s, 1e-12)
+    t = mu_d - scale * R @ mu_s
+    M = np.zeros((2, 3))
+    M[:, :2] = scale * R
+    M[:, 2] = t
+    return M.astype(np.float32)
+
+
+def arcface_crop(img: np.ndarray, lms106: np.ndarray, out_size: int = 112):
+    """Warp to the arcface 112x112 template from 106 landmarks
+    (reference FaceRecImageCropper.crop_image_by_mat)."""
+    import cv2
+
+    lm5 = np.asarray(lms106, np.float32).reshape(-1, 2)[list(LMS5_FROM_106)]
+    M = umeyama_similarity(lm5, ARCFACE_SRC)
+    return cv2.warpAffine(img, M, (out_size, out_size), borderValue=0.0)
+
+
+class IdentitySimilarityPipeline:
+    """RetinaFace detect -> PFLD align -> arcface crop -> MobileFaceNet embed
+    -> dot product (reference evaluation_similarity.py:16-86).
+
+    Any stage without transplanted weights degrades gracefully: detection
+    falls back to the full frame, alignment to a direct 112x112 resize —
+    appropriate for this framework's rendered, pre-normalized crops (the
+    path the eval protocols use by default).
+    """
+
+    def __init__(self, embed_variables=None, detector=None, aligner=None):
+        self.embed_fn = make_identity_embed_fn(embed_variables)
+        self.detector = detector
+        self.aligner = aligner
+
+    def _prep(self, img: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 BGR -> [1, 112, 112, 3] float RGB in [0, 1]."""
+        import cv2
+
+        crop = None
+        if self.detector is not None and self.detector.available:
+            dets = self.detector(img)
+            if len(dets) and self.aligner is not None and self.aligner.available:
+                lms = self.aligner(img, dets[0])
+                crop = arcface_crop(img, lms)
+        if crop is None:
+            crop = cv2.resize(img, (112, 112))
+        rgb = crop[..., ::-1].astype(np.float32) / 255.0
+        return rgb[None]
+
+    def __call__(self, img_a: np.ndarray, img_b: np.ndarray) -> float:
+        ea = np.array(self.embed_fn(jnp.asarray(self._prep(img_a))))[0]
+        eb = np.array(self.embed_fn(jnp.asarray(self._prep(img_b))))[0]
+        ea = ea / max(np.linalg.norm(ea), 1e-8)
+        eb = eb / max(np.linalg.norm(eb), 1e-8)
+        return float(ea @ eb)

@@ -222,18 +222,25 @@ class GazeNeRF(nn.Module):
         )
         merge_featmap = jnp.maximum(merge_featmap_face, eyes_planes)
 
-        # one batched renderer pass for bg + face + eyes + merge: the
-        # reference runs 4 sequential CNN forwards (models/gaze_nerf.py:175,
-        # 186-189); stacking them along batch keeps the MXU fed with 4x the
-        # rows per matmul for the same weights (identical math per image)
-        stacked = jnp.concatenate(
-            [bg_featmap, merge_featmap_face, eyes_planes, merge_featmap], axis=0
-        )
-        imgs = self.neural_render(stacked)
-        bg_img = imgs[:1]
-        merge_img_face = imgs[1 : 1 + B]
-        merge_img_eyes = imgs[1 + B : 1 + 2 * B]
-        merge_img = imgs[1 + 2 * B :]
+        if cfg.batch_renderer_passes:
+            # one batched renderer pass for bg + face + eyes + merge: the
+            # reference runs 4 sequential CNN forwards (models/gaze_nerf.py:
+            # 175,186-189); stacking them along batch feeds the MXU 4x the
+            # rows per matmul for the same weights (identical math per image)
+            stacked = jnp.concatenate(
+                [bg_featmap, merge_featmap_face, eyes_planes, merge_featmap],
+                axis=0,
+            )
+            imgs = self.neural_render(stacked)
+            bg_img = imgs[:1]
+            merge_img_face = imgs[1 : 1 + B]
+            merge_img_eyes = imgs[1 + B : 1 + 2 * B]
+            merge_img = imgs[1 + 2 * B :]
+        else:
+            bg_img = self.neural_render(bg_featmap)
+            merge_img_face = self.neural_render(merge_featmap_face)
+            merge_img_eyes = self.neural_render(eyes_planes)
+            merge_img = self.neural_render(merge_featmap)
 
         res: Dict[str, Any] = {
             "coarse_dict": {

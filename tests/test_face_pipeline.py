@@ -1,0 +1,181 @@
+"""Parity tests for the FaceX-Zoo identity pipeline ports
+(RetinaFace detector, PFLD aligner, cropper, end-to-end fallback)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import REFERENCE_ROOT
+
+
+def _install_torchvision_shim():
+    """The reference retinaface_def only needs IntermediateLayerGetter."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    utils = types.ModuleType("torchvision.models._utils")
+
+    class IntermediateLayerGetter(torch.nn.ModuleDict):
+        def __init__(self, model, return_layers):
+            layers = {}
+            rl = dict(return_layers)
+            for name, module in model.named_children():
+                layers[name] = module
+                if name in rl:
+                    del rl[name]
+                if not rl:
+                    break
+            super().__init__(layers)
+            self.return_layers = dict(return_layers)
+
+        def forward(self, x):
+            out = {}
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    utils.IntermediateLayerGetter = IntermediateLayerGetter
+    models._utils = utils
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models._utils"] = utils
+
+
+def _randomize_bn(net):
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+
+def test_retinaface_parity():
+    _install_torchvision_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from face_recognition.models.network_def.retinaface_def import (
+        RetinaFace as TorchRetinaFace,
+    )
+
+    from gazenerf_tpu.models.face_detection import (
+        RetinaFace,
+        retinaface_params_from_torch,
+    )
+
+    cfg = {
+        "return_layers": {"stage1": 1, "stage2": 2, "stage3": 3},
+        "in_channel": 32,
+        "out_channel": 64,
+    }
+    torch.manual_seed(7)
+    tnet = TorchRetinaFace(cfg=cfg, phase="test")
+    tnet.eval()
+    _randomize_bn(tnet)
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 120, 120)).astype(np.float32)
+    with torch.no_grad():
+        bbox_t, cls_t, ldm_t = tnet(torch.from_numpy(x))
+
+    variables = retinaface_params_from_torch(
+        {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    )
+    jnet = RetinaFace()
+    bbox_j, cls_j, ldm_j = jnet.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(bbox_j), bbox_t.numpy(), atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(cls_j), cls_t.numpy(), atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ldm_j), ldm_t.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_priorbox_and_nms():
+    from gazenerf_tpu.models.face_detection import decode_boxes, nms, prior_boxes
+
+    priors = prior_boxes((120, 120))
+    # 15x15 + 8x8 + 4x4 feature maps x 2 anchors
+    assert priors.shape == ((15 * 15 + 8 * 8 + 4 * 4) * 2, 4)
+    assert priors[0, :2] == pytest.approx([0.5 * 8 / 120, 0.5 * 8 / 120])
+    assert priors[0, 2:] == pytest.approx([16 / 120, 16 / 120])
+
+    # zero offsets decode back to the prior box corners
+    boxes = decode_boxes(np.zeros_like(priors), priors)
+    np.testing.assert_allclose(
+        boxes[:, 2] - boxes[:, 0], priors[:, 2], atol=1e-6
+    )
+
+    dets = np.array(
+        [
+            [10, 10, 50, 50, 0.9],
+            [12, 12, 52, 52, 0.8],  # heavy overlap -> suppressed
+            [100, 100, 140, 140, 0.7],
+        ],
+        np.float32,
+    )
+    assert nms(dets, 0.2) == [0, 2]
+
+
+def test_pfld_parity():
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from face_recognition.models.network_def.mobilev3_pfld import PFLDInference
+
+    from gazenerf_tpu.models.face_alignment import PFLD, pfld_params_from_torch
+
+    torch.manual_seed(11)
+    tnet = PFLDInference()
+    tnet.eval()
+    _randomize_bn(tnet)
+
+    x = np.random.default_rng(1).standard_normal((1, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        _, lm_t = tnet(torch.from_numpy(x))
+
+    variables = pfld_params_from_torch(
+        {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    )
+    lm_j = PFLD().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(lm_j), lm_t.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_umeyama_recovers_similarity():
+    from gazenerf_tpu.models.face_recognition import umeyama_similarity
+
+    rng = np.random.default_rng(5)
+    src = rng.standard_normal((5, 2)).astype(np.float32) * 20 + 56
+    th, s = 0.3, 1.7
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    t = np.array([3.0, -7.0])
+    dst = (s * src @ R.T + t).astype(np.float32)
+    M = umeyama_similarity(src, dst)
+    np.testing.assert_allclose(M[:, :2], s * R, atol=1e-4)
+    np.testing.assert_allclose(M[:, 2], t, atol=1e-3)
+
+
+def test_identity_pipeline_fallback_and_crop():
+    cv2 = pytest.importorskip("cv2")
+    from gazenerf_tpu.models.face_recognition import (
+        IdentitySimilarityPipeline,
+        arcface_crop,
+    )
+
+    rng = np.random.default_rng(2)
+    img = (rng.random((200, 200, 3)) * 255).astype(np.uint8)
+    # no detector/aligner weights -> direct resize fallback; self-similarity 1
+    pipe = IdentitySimilarityPipeline()
+    assert pipe(img, img) == pytest.approx(1.0, abs=1e-5)
+    other = (rng.random((200, 200, 3)) * 255).astype(np.uint8)
+    assert -1.0 <= pipe(img, other) <= 1.0
+
+    lms106 = rng.random((106, 2)).astype(np.float32) * 180 + 10
+    crop = arcface_crop(img, lms106)
+    assert crop.shape == (112, 112, 3)
