@@ -56,6 +56,11 @@ class EvalContext:
     estimator_fn: Optional[Callable] = None  # img -> (gaze, head) pitchyaw
     feats_fn: Optional[Callable] = None  # img -> list of feature maps
     embed_fn: Optional[Callable] = None  # img -> identity embedding
+    # full FaceX-Zoo identity pipeline (detect -> align -> crop -> embed,
+    # gazenerf_tpu.models.face_recognition.IdentitySimilarityPipeline);
+    # preferred over embed_fn when set (reference
+    # face_recognition/evaluation_similarity.py:16-86)
+    identity_pipeline: Optional[Callable] = None
 
     @classmethod
     def build(
@@ -68,6 +73,7 @@ class EvalContext:
         fit_steps: int = 50,
         estimator_fn=None,
         embed_fn=None,
+        identity_pipeline=None,
     ) -> "EvalContext":
         return cls(
             cfg=cfg,
@@ -79,6 +85,7 @@ class EvalContext:
             estimator_fn=estimator_fn,
             feats_fn=frozen.vgg_capture_fn(),
             embed_fn=embed_fn,
+            identity_pipeline=identity_pipeline,
         )
 
 
@@ -94,7 +101,15 @@ def _pair_metrics(ctx: EvalContext, pred_img, target_img) -> Dict[str, float]:
         g, h = M.gaze_and_head_error(ctx.estimator_fn, pred_img, target_img)
         out["gaze_angular_deg"] = float(g[0])
         out["head_angular_deg"] = float(h[0])
-    if ctx.embed_fn is not None:
+    if ctx.identity_pipeline is not None:
+        def to_bgr_u8(img):
+            a = np.clip(np.asarray(img)[0], 0.0, 1.0)
+            return (a[..., ::-1] * 255).astype(np.uint8)
+
+        out["identity_similarity"] = float(
+            ctx.identity_pipeline(to_bgr_u8(pred_img), to_bgr_u8(target_img))
+        )
+    elif ctx.embed_fn is not None:
         out["identity_similarity"] = float(
             M.identity_similarity(ctx.embed_fn, pred_img, target_img)[0]
         )

@@ -125,6 +125,12 @@ class NeuralRenderer(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """``[B, h, w, feat_nc]`` feature map -> ``[B, H, W, 3]`` RGB."""
+        if self.n_blocks == 0:
+            # degenerate img_size == featmap_size config: plain 1x1 RGB head
+            # (the reference's initial rgb_upsample would break here —
+            # models/neural_renderer.py:99 — so this config is ours only)
+            rgb = self.feat_2_rgb_list[0](x)
+            return nn.sigmoid(rgb) if self.final_actvn else rgb
         rgb = upsample2x_blur(self.feat_2_rgb_list[0](x))
         net = x
         for idx in range(self.n_blocks):

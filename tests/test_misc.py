@@ -109,3 +109,43 @@ def test_hier_sampling_and_include_vd_forward(rng):
     )(variables)
     leaves = jax.tree_util.tree_leaves(g["params"]["fine_fg_CD_predictor"])
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_viewer_server_end_to_end():
+    """Viewer serves the page and renders PNGs over HTTP (tiny CPU config)."""
+    import urllib.request
+
+    from gazenerf_tpu.config import small_test_config
+    from gazenerf_tpu.viewer import ViewerApp, lookat_camera, serve
+
+    cfg = small_test_config()
+    app = ViewerApp(cfg)
+    server = serve(app, host="127.0.0.1", port=0, block=False)
+    try:
+        port = server.server_address[1]
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60
+        ).read()
+        assert b"GazeNeRF viewer" in page
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?pitch=0.1&yaw=-0.2&az=10&el=5&dist=12",
+            timeout=300,
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # a second render with different camera must differ (live control)
+        png2 = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?pitch=0.1&yaw=-0.2&az=-30&el=5&dist=12",
+            timeout=300,
+        ).read()
+        assert png2 != png
+    finally:
+        server.shutdown()
+
+    # the look-at camera at the frontal pose matches the base demo camera
+    import numpy as np
+    from gazenerf_tpu.data.cameras import base_camera
+
+    R, T, K = lookat_camera(0.0, 0.0, 12.0, cfg.model.featmap_size)
+    base = base_camera(cfg.model.featmap_size)
+    np.testing.assert_allclose(R, base["Rmats"], atol=1e-6)
+    np.testing.assert_allclose(T, base["Tvecs"], atol=1e-6)
