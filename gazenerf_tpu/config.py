@@ -68,6 +68,10 @@ class ModelConfig:
     use_pallas: bool = True
     # run the Pallas kernel in interpret mode on non-TPU backends (tests)
     pallas_interpret: bool = False
+    # ray-tile sizes for the fused kernel (0 = auto: fwd <=2048 points/tile,
+    # bwd 8 rays — the bwd stashes activations so its tiles are smaller)
+    pallas_tile_rays: int = 0
+    pallas_bwd_tile_rays: int = 0
     # run the 4 neural-renderer passes (bg/face/eyes/merge) as one batched
     # call instead of sequentially (identical math).  Measured SLOWER on
     # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the

@@ -103,11 +103,14 @@ class GazeNeRF(nn.Module):
 
         B, R, S, De = embed.shape
         # keep ray-tiles at <=2048 points so VMEM holds the f32 intermediates
-        tr = max(8, 2048 // S)
+        tr = cfg.pallas_tile_rays or max(8, 2048 // S)
         while R % tr:
             tr //= 2
+        btr = cfg.pallas_bwd_tile_rays or min(8, tr)
+        while R % btr:
+            btr //= 2
         dims = default_dims(cfg, interpret=interpret)._replace(
-            samples=S, tile_rays=tr, bwd_tile_rays=min(8, tr)
+            samples=S, tile_rays=tr, bwd_tile_rays=btr
         )
         return dims if R % dims.tile_rays == 0 else None
 

@@ -71,7 +71,7 @@ def random_basis(
 
 
 def load_basis(npz_path: str) -> BasisData:
-    """Load a real basis blob (keys mirror the reference topo npz)."""
+    """Load a framework-native basis blob (one npz with all fields)."""
     d = np.load(npz_path)
     return BasisData(
         mean_shape=jnp.asarray(d["mean_shape"].reshape(-1, 3), jnp.float32),
@@ -80,6 +80,69 @@ def load_basis(npz_path: str) -> BasisData:
         texture_basis=jnp.asarray(d["texture_basis"], jnp.float32),
         triangles=jnp.asarray(d["triangles"], jnp.int32),
         landmark_index=jnp.asarray(d["landmark_index"], jnp.int32),
+    )
+
+
+def load_topology(npz_path: str):
+    """Load the reference's mesh-topology blob
+    (``configs/config_files/nl_3dmm_topo_info.npz``, read at
+    nl3dmm_renderer.py:44-49).
+
+    Returns ``(fv_indices [T, 3] int32, corr_vf_indices [V, K] int32)`` —
+    face-vertex triangles and the padded per-vertex adjacent-face table
+    whose padding sentinel is T (one zero face is appended before the
+    gather; see :func:`vertex_normals`).
+    """
+    z = np.load(npz_path)
+    fv = np.asarray(z["fv_indices"], np.int32)
+    corr = np.asarray(z["corr_vf_indices"], np.int32)
+    V = int(fv.max()) + 1
+    assert corr.shape[0] == V, (corr.shape, V)
+    assert corr.max() <= fv.shape[0], "padding sentinel must be n_faces"
+    return fv, corr
+
+
+def load_basis_pkl(
+    pkl_path: str,
+    topo_npz_path: str = None,
+    iden_dims: int = 100,
+    expr_dims: int = 79,
+    landmark_pkl_path: str = None,
+) -> BasisData:
+    """Load the reference's basis pickle
+    (``configs/config_models/nl3dmm_dict.pkl``, read at
+    face_models.py:9-23: keys ``mu`` [3V], ``b`` [Ds, 3V], ``sig_id``,
+    ``sig_exp``, ``mu_tex`` [3V], ``b_tex`` [Dt, 3V], ``sig_tex``).
+
+    The triangles come from the separate topology npz (pass
+    ``topo_npz_path``); landmark vertex ids from ``LandMarkInfo.pkl``
+    when available.
+    """
+    import pickle
+
+    with open(pkl_path, "rb") as f:
+        d = pickle.load(f)
+    mu = np.asarray(d["mu"], np.float32).reshape(-1)
+    b = np.asarray(d["b"], np.float32)  # [Ds, 3V]
+    mu_tex = np.asarray(d["mu_tex"], np.float32).reshape(-1)
+    b_tex = np.asarray(d["b_tex"], np.float32)  # [Dt, 3V]
+    V = mu.shape[0] // 3
+    if topo_npz_path is not None:
+        tris, _ = load_topology(topo_npz_path)
+    else:
+        tris = np.zeros((1, 3), np.int32)
+    if landmark_pkl_path is not None:
+        with open(landmark_pkl_path, "rb") as f:
+            lm = np.asarray(pickle.load(f), np.int64).reshape(-1)[:68]
+    else:
+        lm = np.linspace(0, V - 1, 68).astype(np.int64)
+    return BasisData(
+        mean_shape=jnp.asarray(mu.reshape(V, 3)),
+        shape_basis=jnp.asarray(b.T),  # [3V, Ds]
+        mean_texture=jnp.asarray(mu_tex.reshape(V, 3)),
+        texture_basis=jnp.asarray(b_tex.T),  # [3V, Dt]
+        triangles=jnp.asarray(tris, jnp.int32),
+        landmark_index=jnp.asarray(lm, jnp.int32),
     )
 
 
@@ -123,19 +186,38 @@ def decode_texture(basis: BasisData, texture_code: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(basis.mean_texture[None] + tex.reshape(B, -1, 3), 0.0, 1.0)
 
 
-def vertex_normals(vertices: jnp.ndarray, triangles: jnp.ndarray) -> jnp.ndarray:
-    """Area-weighted vertex normals (reference nl3dmm_renderer.py:81-94).
+def vertex_normals(
+    vertices: jnp.ndarray,
+    triangles: jnp.ndarray,
+    corr_vf: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Vertex normals (reference nl3dmm_renderer.py:81-94).
 
     ``vertices``: [B, V, 3]; ``triangles``: [T, 3].
+
+    With ``corr_vf`` ([V, K] padded per-vertex adjacent-face table, the
+    reference's ``corr_vf_indices`` where padding points at a zero sentinel
+    face appended at index T) this reproduces the reference exactly: each
+    face normal is UNIT-normalized before the per-vertex sum (uniform
+    weighting), then the sum is normalized.  Without it, faces are
+    area-weighted via scatter-add — the common NeRF-tooling convention,
+    equal in the limit of uniform triangle areas.
     """
     v0 = vertices[:, triangles[:, 0]]
     v1 = vertices[:, triangles[:, 1]]
     v2 = vertices[:, triangles[:, 2]]
     fn = jnp.cross(v1 - v0, v2 - v0)  # [B, T, 3] (area-weighted)
     B, V, _ = vertices.shape
-    normals = jnp.zeros((B, V, 3), vertices.dtype)
-    for k in range(3):
-        normals = normals.at[:, triangles[:, k]].add(fn)
+    if corr_vf is not None:
+        fn = fn / jnp.maximum(jnp.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+        # zero sentinel face at index T (reference pads tri_normal with one
+        # zero row — nl3dmm_renderer.py:89)
+        fn = jnp.concatenate([fn, jnp.zeros((B, 1, 3), fn.dtype)], axis=1)
+        normals = jnp.sum(fn[:, corr_vf, :], axis=2)  # [B, V, 3]
+    else:
+        normals = jnp.zeros((B, V, 3), vertices.dtype)
+        for k in range(3):
+            normals = normals.at[:, triangles[:, k]].add(fn)
     norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
     return normals / jnp.maximum(norm, 1e-8)
 

@@ -239,3 +239,72 @@ def test_unet_parity_with_reference():
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=2e-4, rtol=1e-3
     )
+
+
+REFERENCE_TOPO = "/root/reference/configs/config_files/nl_3dmm_topo_info.npz"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REFERENCE_TOPO),
+    reason="reference topo blob not present",
+)
+def test_load_reference_topology_and_corr_vf_normals():
+    """The topology loader reads the REAL reference blob, and corr_vf-based
+    vertex normals match the reference's torch computation
+    (nl3dmm_renderer.py:81-94) on it."""
+    import torch
+    import torch.nn.functional as F
+
+    from gazenerf_tpu.nl3dmm.face_model import load_topology, vertex_normals
+
+    fv, corr = load_topology(REFERENCE_TOPO)
+    V = int(fv.max()) + 1
+    assert corr.shape == (V, 8)
+
+    # random geometry over the full mesh, exercise the padded gather
+    rng = np.random.default_rng(0)
+    geo = rng.standard_normal((1, V, 3)).astype(np.float32)
+
+    ours = np.asarray(
+        vertex_normals(jnp.asarray(geo), jnp.asarray(fv), corr_vf=jnp.asarray(corr))
+    )
+
+    g = torch.from_numpy(geo)
+    tris = torch.from_numpy(fv).long()
+    v1, v2, v3 = (g[:, tris[:, k], :] for k in range(3))
+    nnorm = torch.cross(v2 - v1, v3 - v1, 2)
+    tri_normal = F.normalize(nnorm, dim=2)
+    tri_normal = F.pad(tri_normal, [0, 0, 0, 1, 0, 0])
+    v_norm = tri_normal[:, torch.from_numpy(corr).long(), :].sum(2)
+    ref = F.normalize(v_norm, dim=-1).numpy()
+
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_load_basis_pkl_roundtrip(tmp_path):
+    """load_basis_pkl consumes the reference nl3dmm_dict.pkl layout."""
+    import pickle
+
+    from gazenerf_tpu.nl3dmm.face_model import decode_texture, load_basis_pkl
+
+    rng = np.random.default_rng(1)
+    V, Ds, Dt = 40, 179, 100
+    d = {
+        "mu": rng.standard_normal(3 * V).astype(np.float32),
+        "b": rng.standard_normal((Ds, 3 * V)).astype(np.float32),
+        "sig_id": rng.random(100).astype(np.float32),
+        "sig_exp": rng.random(79).astype(np.float32),
+        "mu_tex": rng.random(3 * V).astype(np.float32),
+        "b_tex": rng.standard_normal((Dt, 3 * V)).astype(np.float32),
+        "sig_tex": rng.random(Dt).astype(np.float32),
+    }
+    p = tmp_path / "nl3dmm_dict.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(d, f)
+    basis = load_basis_pkl(str(p))
+    assert basis.mean_shape.shape == (V, 3)
+    assert basis.shape_basis.shape == (3 * V, Ds)
+    tex = decode_texture(basis, jnp.zeros((1, Dt)))
+    np.testing.assert_allclose(
+        np.asarray(tex)[0], np.clip(d["mu_tex"].reshape(V, 3), 0, 1), atol=1e-6
+    )
