@@ -47,6 +47,49 @@ def build_estimator(ckpt_path: str):
     return jax.jit(lambda img: net.apply(variables, img))
 
 
+def build_identity_pipeline(embed_ckpt: str, detector_ckpt: str,
+                            aligner_ckpt: str):
+    """FaceX-Zoo identity pipeline from torch checkpoints
+    (reference evaluation_similarity.py:16-86).  Any missing stage degrades
+    gracefully (see models/face_recognition.IdentitySimilarityPipeline);
+    with no embed checkpoint the identity metric still runs with a random
+    but consistent embedder — only absolute values lose meaning.
+    """
+    from gazenerf_tpu.models.face_recognition import IdentitySimilarityPipeline
+
+    def torch_sd(path):
+        import torch
+
+        sd = torch.load(path, map_location="cpu")
+        sd = sd.get("state_dict", sd)
+        return {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+
+    embed_vars = detector = aligner = None
+    if embed_ckpt:
+        from gazenerf_tpu.utils.transplant import mobilefacenet_from_torch
+
+        embed_vars = mobilefacenet_from_torch(torch_sd(embed_ckpt))
+    if detector_ckpt:
+        from gazenerf_tpu.models.face_detection import (
+            RetinaFaceDetector,
+            retinaface_params_from_torch,
+        )
+
+        detector = RetinaFaceDetector(
+            retinaface_params_from_torch(torch_sd(detector_ckpt))
+        )
+    if aligner_ckpt:
+        from gazenerf_tpu.models.face_alignment import (
+            PFLDAligner,
+            pfld_params_from_torch,
+        )
+
+        aligner = PFLDAligner(pfld_params_from_torch(torch_sd(aligner_ckpt)))
+    return IdentitySimilarityPipeline(
+        embed_variables=embed_vars, detector=detector, aligner=aligner
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Run evaluation protocols")
     add_common_args(p)
@@ -60,6 +103,12 @@ def main(argv=None) -> int:
     p.add_argument("--max_pairs", type=int, default=20)
     p.add_argument("--estimator_ckpt", type=str, default="",
                    help="torch ResNet50 gaze estimator checkpoint")
+    p.add_argument("--identity_embed_ckpt", type=str, default="",
+                   help="torch MobileFaceNet checkpoint")
+    p.add_argument("--identity_detector_ckpt", type=str, default="",
+                   help="torch RetinaFace checkpoint")
+    p.add_argument("--identity_aligner_ckpt", type=str, default="",
+                   help="torch PFLD checkpoint")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     logging.basicConfig(level=logging.INFO)

@@ -72,6 +72,13 @@ class ModelConfig:
     # bwd 8 rays — the bwd stashes activations so its tiles are smaller)
     pallas_tile_rays: int = 0
     pallas_bwd_tile_rays: int = 0
+    # blur-shuffle implementation in the neural renderer:
+    # "phase" / "phase_gm" (XLA shifted-FMA formulations; default),
+    # "pallas" (fused VMEM stencil kernel — exact-parity tested but measured
+    # 143 vs 139 ms/step: the gm gathers + phase-relayout around the kernel
+    # give back what the fused taps save; XLA already fuses the taps well),
+    # "naive" (transpose shuffle + depthwise-conv blur)
+    shuffle_mode: str = "phase"
     # run the 4 neural-renderer passes (bg/face/eyes/merge) as one batched
     # call instead of sequentially (identical math).  Measured SLOWER on
     # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the

@@ -5,13 +5,14 @@ TPU port of the reference's FaceX-Zoo pipeline
 detect -> PFLD align -> MobileFaceNet embed -> dot product of normalized
 embeddings; net defs face_recognition/models/network_def/mobilefacenet_def.py).
 
-The embedding backbone here is the MobileFaceNet architecture (depthwise-
-separable bottlenecks + global depthwise conv + 512-d linear embedding).
-Detection/alignment are unnecessary for our evaluation inputs: the
-framework's rendered faces are already normalized crops (the reference also
-feeds aligned 112x112 crops), so :func:`make_identity_embed_fn` resizes to
-112 and embeds directly.  Transplanted weights give parity with the
-reference metric; random weights still give a consistent relative metric.
+The embedding backbone is an EXACT flax mirror of the reference
+``MobileFaceNet`` (mobilefacenet_def.py:64-93: PReLU conv blocks, depthwise
+bottlenecks with expand groups, global 7x7 depthwise, 512-d linear + BN1d +
+l2-norm) so FaceX-Zoo checkpoints transplant via
+:func:`mobilefacenet_from_torch`.  Detection/alignment are optional for our
+evaluation inputs: the framework's rendered faces are already normalized
+crops, so :func:`make_identity_embed_fn` resizes to 112 and embeds directly;
+random weights still give a consistent relative metric.
 """
 
 from __future__ import annotations
@@ -26,71 +27,183 @@ import numpy as np
 from gazenerf_tpu.ops.image import resize_bilinear
 
 
-class DWBottleneck(nn.Module):
-    """MobileFaceNet bottleneck: pw-expand -> dw 3x3 -> pw-project (+res)."""
+def _prelu(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
 
-    out_ch: int
-    expand: int
-    stride: int = 1
+
+class ConvBlock(nn.Module):
+    """conv + BN + per-channel PReLU (reference mobilefacenet_def.py:15-25)."""
+
+    out: int
+    kernel: tuple = (1, 1)
+    stride: tuple = (1, 1)
+    padding: tuple = (0, 0)
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )
-        mid = self.expand
-        y = nn.Conv(mid, (1, 1), use_bias=False)(x)
-        y = nn.relu(bn()(y))
-        y = nn.Conv(
-            mid, (3, 3), strides=(self.stride, self.stride), padding=1,
-            feature_group_count=mid, use_bias=False,
-        )(y)
-        y = nn.relu(bn()(y))
-        y = nn.Conv(self.out_ch, (1, 1), use_bias=False)(y)
-        y = bn()(y)
-        if self.stride == 1 and x.shape[-1] == self.out_ch:
-            y = y + x
-        return y
+        x = nn.Conv(
+            self.out, self.kernel, self.stride,
+            padding=tuple((p, p) for p in self.padding),
+            feature_group_count=self.groups, use_bias=False, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        slope = self.param("prelu", nn.initializers.constant(0.25), (self.out,))
+        return _prelu(x, slope)
+
+
+class LinearBlock(nn.Module):
+    """conv + BN, no activation (reference mobilefacenet_def.py:26-34)."""
+
+    out: int
+    kernel: tuple = (1, 1)
+    stride: tuple = (1, 1)
+    padding: tuple = (0, 0)
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.out, self.kernel, self.stride,
+            padding=tuple((p, p) for p in self.padding),
+            feature_group_count=self.groups, use_bias=False, name="conv",
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+
+
+class DepthWise(nn.Module):
+    """pw-expand -> dw -> pw-project (reference mobilefacenet_def.py:35-53)."""
+
+    out: int
+    groups: int
+    stride: tuple = (2, 2)
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBlock(self.groups, name="conv")(x, train)
+        y = ConvBlock(
+            self.groups, kernel=(3, 3), stride=self.stride, padding=(1, 1),
+            groups=self.groups, name="conv_dw",
+        )(y, train)
+        y = LinearBlock(self.out, name="project")(y, train)
+        return x + y if self.residual else y
 
 
 class MobileFaceNet(nn.Module):
-    """512-d face embedding from 112x112 aligned crops."""
+    """512-d face embedding from 112x112 aligned crops — exact mirror of the
+    reference net (mobilefacenet_def.py:64-93), including the final l2-norm.
+    """
 
     embedding_dim: int = 512
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda: nn.BatchNorm(  # noqa: E731
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, use_bias=False)(x)
-        x = nn.relu(bn()(x))
-        x = nn.Conv(64, (3, 3), padding=1, feature_group_count=64, use_bias=False)(x)
-        x = nn.relu(bn()(x))
-        # (expand, out, stride, repeats) — MobileFaceNet schedule
-        for expand, out, stride, n in [
-            (128, 64, 2, 5),
-            (256, 128, 2, 1),
-            (256, 128, 1, 6),
-            (512, 128, 2, 1),
-            (256, 128, 1, 2),
-        ]:
-            for i in range(n):
-                x = DWBottleneck(out, expand, stride if i == 0 else 1)(x, train)
-        x = nn.Conv(512, (1, 1), use_bias=False)(x)
-        x = nn.relu(bn()(x))
-        # global depthwise conv: 7x7 valid
-        x = nn.Conv(
-            512, (x.shape[1], x.shape[2]), padding="VALID",
-            feature_group_count=512, use_bias=False,
-        )(x)
-        x = bn()(x)
+        x = ConvBlock(64, (3, 3), (2, 2), (1, 1), name="conv1")(x, train)
+        x = ConvBlock(64, (3, 3), (1, 1), (1, 1), groups=64, name="conv2_dw")(x, train)
+        x = DepthWise(64, groups=128, name="conv_23")(x, train)
+        for i in range(4):
+            x = DepthWise(64, groups=128, stride=(1, 1), residual=True,
+                          name=f"conv_3_{i}")(x, train)
+        x = DepthWise(128, groups=256, name="conv_34")(x, train)
+        for i in range(6):
+            x = DepthWise(128, groups=256, stride=(1, 1), residual=True,
+                          name=f"conv_4_{i}")(x, train)
+        x = DepthWise(128, groups=512, name="conv_45")(x, train)
+        for i in range(2):
+            x = DepthWise(128, groups=256, stride=(1, 1), residual=True,
+                          name=f"conv_5_{i}")(x, train)
+        x = ConvBlock(512, name="conv_6_sep")(x, train)
+        x = LinearBlock(
+            512, kernel=(x.shape[1], x.shape[2]), groups=512, name="conv_6_dw"
+        )(x, train)
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(self.embedding_dim, use_bias=False)(x)
-        return nn.BatchNorm(
+        x = nn.Dense(self.embedding_dim, use_bias=False, name="linear")(x)
+        x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_scale=True, use_bias=True,
+            use_scale=True, use_bias=True, name="bn",
         )(x)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def mobilefacenet_from_torch(sd) -> dict:
+    """Reference ``MobileFaceNet(512, 7, 7).state_dict()`` -> flax variables."""
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_k(w):
+        return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+    def conv_block(dst, t):
+        p = {
+            "conv": {"kernel": conv_k(sd[f"{t}.conv.weight"])},
+            "bn": {
+                "scale": np.asarray(sd[f"{t}.bn.weight"]),
+                "bias": np.asarray(sd[f"{t}.bn.bias"]),
+            },
+            "prelu": np.asarray(sd[f"{t}.prelu.weight"]),
+        }
+        s = {"bn": {
+            "mean": np.asarray(sd[f"{t}.bn.running_mean"]),
+            "var": np.asarray(sd[f"{t}.bn.running_var"]),
+        }}
+        params[dst] = p
+        stats[dst] = s
+
+    def linear_block(dst, t):
+        params[dst] = {
+            "conv": {"kernel": conv_k(sd[f"{t}.conv.weight"])},
+            "bn": {
+                "scale": np.asarray(sd[f"{t}.bn.weight"]),
+                "bias": np.asarray(sd[f"{t}.bn.bias"]),
+            },
+        }
+        stats[dst] = {"bn": {
+            "mean": np.asarray(sd[f"{t}.bn.running_mean"]),
+            "var": np.asarray(sd[f"{t}.bn.running_var"]),
+        }}
+
+    def depth_wise(dst, t):
+        sub_p: dict = {}
+        sub_s: dict = {}
+        hold_p, hold_s = dict(params), dict(stats)
+        params.clear(); stats.clear()
+        conv_block("conv", f"{t}.conv")
+        conv_block("conv_dw", f"{t}.conv_dw")
+        linear_block("project", f"{t}.project")
+        sub_p.update(params); sub_s.update(stats)
+        params.clear(); params.update(hold_p)
+        stats.clear(); stats.update(hold_s)
+        params[dst] = sub_p
+        stats[dst] = sub_s
+
+    conv_block("conv1", "conv1")
+    conv_block("conv2_dw", "conv2_dw")
+    depth_wise("conv_23", "conv_23")
+    for i in range(4):
+        depth_wise(f"conv_3_{i}", f"conv_3.model.{i}")
+    depth_wise("conv_34", "conv_34")
+    for i in range(6):
+        depth_wise(f"conv_4_{i}", f"conv_4.model.{i}")
+    depth_wise("conv_45", "conv_45")
+    for i in range(2):
+        depth_wise(f"conv_5_{i}", f"conv_5.model.{i}")
+    conv_block("conv_6_sep", "conv_6_sep")
+    linear_block("conv_6_dw", "conv_6_dw")
+    params["linear"] = {"kernel": np.asarray(sd["linear.weight"]).T}
+    params["bn"] = {
+        "scale": np.asarray(sd["bn.weight"]),
+        "bias": np.asarray(sd["bn.bias"]),
+    }
+    stats["bn"] = {
+        "mean": np.asarray(sd["bn.running_mean"]),
+        "var": np.asarray(sd["bn.running_var"]),
+    }
+    return {"params": params, "batch_stats": stats}
 
 
 def make_identity_embed_fn(variables=None, rng: Optional[jax.Array] = None) -> Callable:
@@ -187,7 +300,13 @@ class IdentitySimilarityPipeline:
         self.aligner = aligner
 
     def _prep(self, img: np.ndarray) -> np.ndarray:
-        """[H, W, 3] uint8 BGR -> [1, 112, 112, 3] float RGB in [0, 1]."""
+        """[H, W, 3] uint8 BGR -> [1, 112, 112, 3] float BGR in [0, 1].
+
+        The reference feeds the cv2 (BGR) crop directly to MobileFaceNet
+        with (x - 127.5) / 128 scaling (FaceRecModelHandler.py:69,
+        model_meta mean=127.5 std=128) — channel order preserved here so
+        transplanted embeddings match.
+        """
         import cv2
 
         crop = None
@@ -198,8 +317,7 @@ class IdentitySimilarityPipeline:
                 crop = arcface_crop(img, lms)
         if crop is None:
             crop = cv2.resize(img, (112, 112))
-        rgb = crop[..., ::-1].astype(np.float32) / 255.0
-        return rgb[None]
+        return crop.astype(np.float32)[None] / 255.0
 
     def __call__(self, img_a: np.ndarray, img_b: np.ndarray) -> float:
         ea = np.array(self.embed_fn(jnp.asarray(self._prep(img_a))))[0]

@@ -72,6 +72,13 @@ class GazeNeRF(nn.Module):
         ren_dtype = (
             jnp.bfloat16 if cfg.renderer_dtype == "bfloat16" else jnp.float32
         )
+        shuffle_mode = cfg.shuffle_mode
+        interpret = False
+        if shuffle_mode == "pallas" and jax.default_backend() != "tpu":
+            if cfg.pallas_interpret:
+                interpret = True
+            else:
+                shuffle_mode = "phase"  # XLA fallback off-TPU
         self.neural_render = NeuralRenderer(
             bg_type=cfg.bg_type,
             feat_nc=cfg.featmap_nc,
@@ -81,6 +88,8 @@ class GazeNeRF(nn.Module):
             featmap_size=cfg.featmap_size,
             img_size=cfg.pred_img_size,
             dtype=ren_dtype,
+            shuffle_mode=shuffle_mode,
+            pallas_interpret=interpret,
             name="neural_render",
         )
 

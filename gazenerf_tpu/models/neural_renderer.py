@@ -10,6 +10,8 @@ bilinear upsample and the binomial blur are the ops in
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -22,6 +24,31 @@ from gazenerf_tpu.ops.image import (
     pixel_shuffle2_blur_gm,
     upsample2x_blur,
 )
+
+
+class PermutedDense(nn.Module):
+    """Dense whose OUTPUT channels are statically permuted at compute time
+    by permuting the weight columns — the stored ``kernel``/``bias`` params
+    keep the reference layout (weight-transplant compatible), and the
+    activation-side gather costs nothing."""
+
+    features: int
+    perm: Any
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        p = np.asarray(self.perm)
+        return x.astype(self.dtype) @ k[:, p].astype(self.dtype) + b[p].astype(
+            self.dtype
+        )
 
 
 class PixelShuffleUpsample(nn.Module):
@@ -39,7 +66,10 @@ class PixelShuffleUpsample(nn.Module):
     # "phase_gm": phase variant with the conv emitting group-major channels
     #   (static weight-column permutation; params stay transplant-layout) so
     #   the phase groups are contiguous slices instead of strided gathers
+    # "pallas": gm ordering + the fused Pallas blur-shuffle kernel
+    #   (kernels/shuffle_blur.py) — one VMEM pass instead of ~36 XLA FMAs
     shuffle_mode: str = "phase"
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,22 +78,35 @@ class PixelShuffleUpsample(nn.Module):
             nn.Dense(F * 2, dtype=self.dtype, name="layer_1")(x),
             negative_slope=0.2,
         )
-        l2 = nn.Dense(F * 4, dtype=self.dtype, name="layer_2")
-        if self.shuffle_mode == "phase_gm":
-            # permute output channels c*4+k -> k*F+c at compute time; the
-            # stored kernel keeps the reference layout for weight transplant
+        if self.shuffle_mode in ("phase_gm", "pallas"):
+            # output channels permuted c*4+k -> k*F+c at ZERO activation
+            # cost: the conv's weight columns are statically permuted
+            # (stored layout stays reference/transplant order)
             perm = np.empty(4 * F, np.int64)
             for c in range(F):
                 for k in range(4):
                     perm[k * F + c] = c * 4 + k
-            out2 = nn.leaky_relu(l2(out), negative_slope=0.2)
-            # one static lane gather reorders channels to gm; together with
-            # the gm residual below this removes the 4 strided phase gathers
-            # and the separate channel-tile
-            res_idx = (4 * jnp.arange(F)[None, :] + jnp.arange(4)[:, None]) % F
-            y_gm = x[..., res_idx.reshape(-1)]  # residual in gm order
-            z_gm = out2[..., jnp.asarray(perm)] + y_gm
+            out2 = nn.leaky_relu(
+                PermutedDense(F * 4, perm=tuple(perm), dtype=self.dtype,
+                              name="layer_2")(out),
+                negative_slope=0.2,
+            )
+            # gm channel-tile residual as a 0/1 matmul (MXU; beats a
+            # full-tensor lane gather): y_gm[k*F + c] = x[(4c + k) % F]
+            P = np.zeros((F, 4 * F), np.float32)
+            for k in range(4):
+                for c in range(F):
+                    P[(4 * c + k) % F, k * F + c] = 1.0
+            y_gm = x.astype(self.dtype) @ jnp.asarray(P, self.dtype)
+            z_gm = out2 + y_gm
+            if self.shuffle_mode == "pallas":
+                from gazenerf_tpu.kernels.shuffle_blur import (
+                    pallas_shuffle_blur_gm,
+                )
+
+                return pallas_shuffle_blur_gm(z_gm, self.pallas_interpret)
             return pixel_shuffle2_blur_gm(z_gm)
+        l2 = nn.Dense(F * 4, dtype=self.dtype, name="layer_2")
         y = jnp.tile(x, (1, 1, 1, 4))
         out = nn.leaky_relu(l2(out), negative_slope=0.2)
         out = out + y
@@ -92,6 +135,7 @@ class NeuralRenderer(nn.Module):
     img_size: int = 512
     dtype: jnp.dtype = jnp.float32
     shuffle_mode: str = "phase"
+    pallas_interpret: bool = False
 
     def setup(self):
         import math
@@ -102,7 +146,11 @@ class NeuralRenderer(nn.Module):
             for i in range(self.n_blocks + 1)
         ]
         self.feat_upsample_list = [
-            PixelShuffleUpsample(widths[i], dtype=self.dtype, shuffle_mode=self.shuffle_mode, name=f"feat_upsample_{i}")
+            PixelShuffleUpsample(
+                widths[i], dtype=self.dtype, shuffle_mode=self.shuffle_mode,
+                pallas_interpret=self.pallas_interpret,
+                name=f"feat_upsample_{i}",
+            )
             for i in range(self.n_blocks)
         ]
         self.feat_layers = [

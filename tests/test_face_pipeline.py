@@ -179,3 +179,33 @@ def test_identity_pipeline_fallback_and_crop():
     lms106 = rng.random((106, 2)).astype(np.float32) * 180 + 10
     crop = arcface_crop(img, lms106)
     assert crop.shape == (112, 112, 3)
+
+
+def test_mobilefacenet_parity():
+    """flax MobileFaceNet == reference mobilefacenet_def on transplanted
+    weights (incl. PReLU blocks and the final l2-norm)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from face_recognition.models.network_def.mobilefacenet_def import (
+        MobileFaceNet as TorchMFN,
+    )
+
+    from gazenerf_tpu.models.face_recognition import (
+        MobileFaceNet,
+        mobilefacenet_from_torch,
+    )
+
+    torch.manual_seed(13)
+    tnet = TorchMFN(512, 7, 7)
+    tnet.eval()
+    _randomize_bn(tnet)
+
+    x = np.random.default_rng(3).standard_normal((2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        e_t = tnet(torch.from_numpy(x)).numpy()
+
+    variables = mobilefacenet_from_torch(
+        {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    )
+    e_j = MobileFaceNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(e_j), e_t, atol=2e-4, rtol=1e-3)

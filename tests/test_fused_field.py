@@ -170,3 +170,43 @@ def test_model_fused_path_matches_xla(rng):
     num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(lp, lx))
     den = sum(float(jnp.sum(b**2)) for b in lx)
     assert (num / max(den, 1e-12)) ** 0.5 < 0.15
+
+
+def test_pallas_shuffle_blur_parity(rng):
+    """Fused Pallas blur-shuffle == the exact XLA phase formulation,
+    forward and VJP, across shapes incl. the single-tile case."""
+    from gazenerf_tpu.kernels.shuffle_blur import pallas_shuffle_blur_gm
+    from gazenerf_tpu.ops.image import pixel_shuffle2_blur_gm
+
+    for (B, H, W, C) in [(2, 8, 8, 4), (1, 16, 12, 6), (1, 4, 4, 3)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, 4 * C)).astype(np.float32))
+        y_k = pallas_shuffle_blur_gm(x, True)
+        y_r = pixel_shuffle2_blur_gm(x)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_r), atol=1e-5)
+
+        g = jnp.asarray(rng.standard_normal(y_r.shape).astype(np.float32))
+        dx_k = jax.vjp(lambda v: pallas_shuffle_blur_gm(v, True), x)[1](g)[0]
+        dx_r = jax.vjp(pixel_shuffle2_blur_gm, x)[1](g)[0]
+        np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r), atol=1e-4)
+
+
+def test_renderer_pallas_shuffle_mode_matches_phase(rng):
+    """NeuralRenderer with shuffle_mode='pallas' (interpret) == 'phase'."""
+    from gazenerf_tpu.models.neural_renderer import NeuralRenderer
+
+    def mk(mode):
+        return NeuralRenderer(
+            feat_nc=32, min_feat=8, featmap_size=8, img_size=32,
+            shuffle_mode=mode, pallas_interpret=True,
+        )
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)).astype(np.float32))
+    m_p, m_k = mk("phase"), mk("pallas")
+    params = m_p.init(jax.random.PRNGKey(0), x)
+    out_p = m_p.apply(params, x)
+    out_k = m_k.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_p), atol=1e-5)
+
+    gp = jax.grad(lambda v: float(0) + jnp.sum(m_p.apply(params, v) ** 2))(x)
+    gk = jax.grad(lambda v: jnp.sum(m_k.apply(params, v) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gp), atol=1e-4)
