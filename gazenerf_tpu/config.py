@@ -73,12 +73,14 @@ class ModelConfig:
     pallas_tile_rays: int = 0
     pallas_bwd_tile_rays: int = 0
     # blur-shuffle implementation in the neural renderer:
-    # "phase" / "phase_gm" (XLA shifted-FMA formulations; default),
-    # "pallas" (fused VMEM stencil kernel — exact-parity tested but measured
-    # 143 vs 139 ms/step: the gm gathers + phase-relayout around the kernel
-    # give back what the fused taps save; XLA already fuses the taps well),
+    # "phase_gm" (default; group-major phases emitted at zero cost by a
+    #   static weight-column permutation + matmul residual, then the XLA
+    #   shifted-FMA stencil: 129.9 vs 138.5 ms/step for plain "phase"),
+    # "phase" (c-major XLA stencil with strided phase gathers),
+    # "pallas" (fused VMEM stencil kernel, exact-parity tested; ties
+    #   phase_gm at 130.2 ms — XLA already fuses the taps well),
     # "naive" (transpose shuffle + depthwise-conv blur)
-    shuffle_mode: str = "phase"
+    shuffle_mode: str = "phase_gm"
     # run the 4 neural-renderer passes (bg/face/eyes/merge) as one batched
     # call instead of sequentially (identical math).  Measured SLOWER on
     # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the

@@ -201,11 +201,13 @@ def test_renderer_pallas_shuffle_mode_matches_phase(rng):
         )
 
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 32)).astype(np.float32))
-    m_p, m_k = mk("phase"), mk("pallas")
+    m_p, m_k, m_g = mk("phase"), mk("pallas"), mk("phase_gm")
     params = m_p.init(jax.random.PRNGKey(0), x)
     out_p = m_p.apply(params, x)
     out_k = m_k.apply(params, x)
+    out_g = m_g.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_p), atol=1e-5)
 
     gp = jax.grad(lambda v: float(0) + jnp.sum(m_p.apply(params, v) ** 2))(x)
     gk = jax.grad(lambda v: jnp.sum(m_k.apply(params, v) ** 2))(x)
