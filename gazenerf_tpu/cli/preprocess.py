@@ -47,6 +47,16 @@ def main(argv=None) -> int:
                    help="path to a 6-point 3D face model txt")
     p.add_argument("--basis_npz", type=str, default="",
                    help="NL-3DMM basis npz; omitted -> skip 3DMM fitting")
+    p.add_argument("--basis_pkl", type=str, default="",
+                   help="reference nl3dmm_dict.pkl (alternative to npz)")
+    p.add_argument("--topo_npz", type=str, default="",
+                   help="reference nl_3dmm_topo_info.npz (with --basis_pkl)")
+    p.add_argument("--landmark_pkl", type=str, default="",
+                   help="reference LandMarkInfo.pkl (with --basis_pkl)")
+    p.add_argument("--skinmask_npy", type=str, default="",
+                   help="reference skinmask.npy (with --basis_pkl)")
+    p.add_argument("--decoder_ckpt", type=str, default="",
+                   help="torch nl3dmm_net_dict.pth for the geometry decoder")
     p.add_argument("--fit_image_size", type=int, default=128)
     p.add_argument("--fit", type=str2bool, default=True)
     args = p.parse_args(argv)
@@ -73,22 +83,47 @@ def main(argv=None) -> int:
 
     fitter = None
     if args.fit:
-        from gazenerf_tpu.nl3dmm.face_model import load_basis, random_basis
+        from gazenerf_tpu.nl3dmm.face_model import (
+            load_basis,
+            load_basis_pkl,
+            random_basis,
+        )
         from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
         from gazenerf_tpu.nl3dmm.rasterizer import RasterSettings
 
-        basis = (
-            load_basis(args.basis_npz) if args.basis_npz else random_basis()
-        )
-        if not args.basis_npz:
+        if args.basis_pkl:
+            basis = load_basis_pkl(
+                args.basis_pkl,
+                topo_npz_path=args.topo_npz or None,
+                landmark_pkl_path=args.landmark_pkl or None,
+                skinmask_npy_path=args.skinmask_npy or None,
+            )
+        elif args.basis_npz:
+            basis = load_basis(args.basis_npz)
+        else:
+            basis = random_basis()
             logger.warning(
-                "no --basis_npz given; fitting against a synthetic basis "
-                "(codes will be structurally valid but not meaningful)"
+                "no --basis_npz/--basis_pkl given; fitting against a "
+                "synthetic basis (codes structurally valid, not meaningful)"
+            )
+        decoder_params = None
+        if args.decoder_ckpt:
+            import torch
+
+            from gazenerf_tpu.nl3dmm.face_model import (
+                geometry_decoder_params_from_torch,
+            )
+
+            sd = torch.load(args.decoder_ckpt, map_location="cpu")
+            sd = sd.get("net", sd) if isinstance(sd, dict) else sd
+            decoder_params = geometry_decoder_params_from_torch(
+                {k: v.numpy() for k, v in sd.items()}
             )
         fitter = NL3DMMFitter(
             basis,
             FitConfig(image_size=args.fit_image_size),
             RasterSettings(image_size=args.fit_image_size),
+            decoder_params=decoder_params,
         )
 
     from gazenerf_tpu.preprocess.driver import process_subject

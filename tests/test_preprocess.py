@@ -117,11 +117,16 @@ def basis():
 def test_face_model_decoders(basis):
     dec = GeometryDecoder(basis)
     code = jnp.zeros((2, 179))
-    verts = dec(jax.tree_util.tree_map(jnp.asarray, dec.init_params), code)
+    params = jax.tree_util.tree_map(jnp.asarray, dec.init_params)
+    verts = dec(params, code)
     assert verts.shape == (2, 256, 3)
-    # zero code ~ mean shape (decoder starts near-linear)
+    # the mean shape lives in the fc3 BIAS (reference face_models.py:41):
+    # with the hidden path zeroed the decoder emits exactly the mean shape
+    params0 = {**params, "w1": jnp.zeros_like(params["w1"]),
+               "b1": jnp.zeros_like(params["b1"])}
+    verts0 = dec(params0, code)
     np.testing.assert_allclose(
-        np.asarray(verts[0]), np.asarray(basis.mean_shape), atol=1e-2
+        np.asarray(verts0[0]), np.asarray(basis.mean_shape), atol=1e-6
     )
     tex = decode_texture(basis, jnp.zeros((2, 100)))
     np.testing.assert_allclose(np.asarray(tex[0]), np.asarray(basis.mean_texture))
@@ -129,7 +134,9 @@ def test_face_model_decoders(basis):
     n = np.linalg.norm(np.asarray(normals), axis=-1)
     # all vertices of the convex-hull mesh are referenced -> unit normals
     assert (n > 0.99).mean() > 0.9  # a few verts unreferenced by the truncated tri list
-    shaded = sh_shade(tex, normals, jnp.zeros((2, 27)))
+    from gazenerf_tpu.nl3dmm.face_model import init_illu_code
+
+    shaded = sh_shade(tex, normals, init_illu_code(2))
     assert np.isfinite(np.asarray(shaded)).all()
 
 
@@ -174,8 +181,7 @@ def test_rasterizer_gradients(basis):
 def test_nl3dmm_fitting_reduces_loss(basis):
     """Fit from a perturbed camera toward a rendered target: loss decreases."""
     cfg = FitConfig(
-        stage1_steps=20, stage2_steps=30, image_size=64,
-        lr_cam=3e-3, lr_code=3e-3,
+        stage1_steps=20, stage2_steps=30, image_size=64, lr_cam=3e-3,
     )
     raster = RasterSettings(image_size=64, tile_size=16, tris_per_tile=32)
     fitter = NL3DMMFitter(basis, cfg, raster)
