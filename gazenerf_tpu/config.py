@@ -190,7 +190,7 @@ class DataConfig:
 
     dataset: str = "eth_xgaze"  # eth_xgaze | mpii_face_gaze | columbia | gaze_capture
     img_dir: str = ""
-    num_workers: int = 2
+    num_workers: int = 4
     prefetch: int = 2
     img_size: int = 512
     # frames per subject for the training split (reference datasets/eth_xgaze.py:260-267)

@@ -63,7 +63,14 @@ def _erode2(mask: np.ndarray) -> np.ndarray:
 
 
 class GazeH5Dataset:
-    """Index over (subject, frame) pairs across per-subject h5 files."""
+    """Index over (subject, frame) pairs across per-subject h5 files.
+
+    ``evaluate="target"`` returns (input, target) pairs: the target frame
+    index comes from the per-dataset evaluation-target table (reference
+    datasets/eth_xgaze.py:280,358-421 loads
+    configs/config_files/*_evaluation_target_single_subject.txt and looks it
+    up by dataset position).
+    """
 
     def __init__(
         self,
@@ -76,9 +83,12 @@ class GazeH5Dataset:
         shuffle: bool = True,
         seed: int = 0,
         fixed_index: Optional[int] = None,
+        evaluate: Optional[str] = None,
+        target_index: Optional[Sequence[int]] = None,
     ):
         assert h5py is not None, "h5py required for the HDF5 pipeline"
         self.data_dir = data_dir
+        self.dataset = dataset
         self.prefix = DATASET_PREFIXES.get(dataset, "")
         if subjects is None:
             split_file = os.path.join(data_dir, "train_test_split.json")
@@ -92,21 +102,34 @@ class GazeH5Dataset:
                     if f.startswith(self.prefix)
                 )
         self.subjects = list(subjects)
-        self._files: Dict[int, h5py.File] = {}
+        self._local = threading.local()
         self.fixed_index = fixed_index
+        self.evaluate = evaluate
 
-        # (subject_idx, frame_idx) pairs; ETH-XGaze train policy takes
-        # 43*18 frontal + 7*18 rear frames (reference datasets/eth_xgaze.py:260-267)
+        # Per-dataset index policies (diff-verified against the four
+        # reference dataset clones):
+        # * ETH-XGaze train: 43*18 frontal frames + the last 7*18 frames in
+        #   reverse order (reference datasets/eth_xgaze.py:260-267)
+        # * MPII / Columbia / GazeCapture train: the full frame range
+        #   (mpii_face_gaze.py:255-263, columbia.py:253-261,
+        #   gaze_capture.py:253-261)
+        # * val (all datasets): the first ``num_val_images`` frames
         self.index: List[Tuple[int, int]] = []
         for si, s in enumerate(self.subjects):
             with h5py.File(self._path(si), "r") as f:
                 n = f["face_patch"].shape[0]
             if split == "val":
                 take = list(range(min(num_val_images, n)))
-            elif frames_per_subject is not None and n > frames_per_subject:
-                front = min(43 * 18, n)
-                back = min(7 * 18, n - front)
-                take = list(range(front)) + list(range(n - 1, n - 1 - back, -1))
+            elif dataset == "eth_xgaze":
+                fps = 900 if frames_per_subject is None else frames_per_subject
+                if n > fps:
+                    front = min(43 * 18, n)
+                    back = min(7 * 18, n - front)
+                    take = list(range(front)) + list(
+                        range(n - 1, n - 1 - back, -1)
+                    )
+                else:
+                    take = list(range(n))
             else:
                 take = list(range(n))
             self.index += [(si, i) for i in take]
@@ -114,30 +137,40 @@ class GazeH5Dataset:
         if shuffle:
             np.random.default_rng(seed).shuffle(self.index)
 
+        self.target_index = None
+        if evaluate == "target":
+            if target_index is None:
+                from gazenerf_tpu.data.target_indices import TARGET_INDICES
+
+                target_index = TARGET_INDICES[dataset]
+            self.target_index = np.asarray(target_index, np.int64)
+
     def _path(self, subject_idx: int) -> str:
         return os.path.join(self.data_dir, self.prefix + self.subjects[subject_idx])
 
     def _file(self, subject_idx: int) -> "h5py.File":
-        f = self._files.get(subject_idx)
+        # one handle per (thread, subject): h5py handles are not safe to
+        # share across the BatchLoader's worker threads
+        files = getattr(self._local, "files", None)
+        if files is None:
+            files = self._local.files = {}
+        f = files.get(subject_idx)
         if f is None:
             f = h5py.File(self._path(subject_idx), "r", swmr=True)
-            self._files[subject_idx] = f
+            files[subject_idx] = f
         return f
 
     def __len__(self) -> int:
         return len(self.index)
 
     def close(self):
-        for f in self._files.values():
-            f.close()
-        self._files.clear()
+        files = getattr(self._local, "files", None)
+        if files:
+            for f in files.values():
+                f.close()
+            files.clear()
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        if self.fixed_index is not None:
-            idx = self.fixed_index
-        si, fi = self.index[idx]
-        h = self._file(si)
-
+    def _read_frame(self, h: "h5py.File", fi: int) -> Dict[str, np.ndarray]:
         img = h["face_patch"][fi][:, :, ::-1]  # BGR->RGB (reference :331)
         img = img.astype(np.float32) / 255.0
 
@@ -156,13 +189,31 @@ class GazeH5Dataset:
             "w2c_Rmat": h["w2c_Rmat"][fi].astype(np.float32),
             "w2c_Tvec": h["w2c_Tvec"][fi].astype(np.float32),
             "inmat": h["inmat"][fi].astype(np.float32),
-            "sample_idx": np.asarray(idx, np.int64),
         }
         # identity/expr/texture frozen to frame 0, per-frame illumination tail
         # (reference datasets/eth_xgaze.py:346-347)
         code = np.array(h["latent_codes"][0], np.float32)
         code[279:] = h["latent_codes"][fi][279:]
         sample["code"] = code
+        return sample
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.fixed_index is not None:
+            idx = self.fixed_index
+        si, fi = self.index[idx]
+        h = self._file(si)
+        sample = self._read_frame(h, fi)
+        sample["sample_idx"] = np.asarray(idx, np.int64)
+
+        if self.evaluate == "target":
+            # target frame in the SAME subject, looked up by dataset position
+            # (reference datasets/eth_xgaze.py:358-421)
+            ti = int(self.target_index[idx % len(self.target_index)])
+            ti = min(ti, h["face_patch"].shape[0] - 1)
+            tgt = self._read_frame(h, ti)
+            for k, v in tgt.items():
+                sample["target_" + k] = v
+            sample["target_sample_idx"] = np.asarray(ti, np.int64)
         return sample
 
     def valid_mask_sample(self, sample: Dict[str, np.ndarray]) -> bool:
@@ -179,7 +230,13 @@ def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class BatchLoader:
-    """Threaded prefetching batch iterator over a :class:`GazeH5Dataset`.
+    """Multi-worker prefetching batch iterator over a :class:`GazeH5Dataset`.
+
+    The reference's DataLoader-workers analogue (reference
+    datasets/eth_xgaze.py:109): ``num_workers`` threads decode samples
+    concurrently (h5py read + BGR flip + erosion + float conversion all
+    release the GIL), batches are collated in submission order, and up to
+    ``prefetch`` collated batches sit ready ahead of the consumer.
 
     Skips batches that contain degenerate masks (matching the reference's
     per-batch guard) when ``skip_invalid`` is set.
@@ -197,7 +254,7 @@ class BatchLoader:
         self.ds = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.skip_invalid = skip_invalid
 
@@ -216,24 +273,51 @@ class BatchLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
+        from concurrent.futures import ThreadPoolExecutor
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
+        def collator(pool):
+            # per-sample decode fans out across the pool; batches complete
+            # in order so downstream sample_idx -> offset-table mapping is
+            # deterministic.  In-flight work is bounded so an epoch never
+            # buffers more than a few batches ahead of the consumer.
+            import collections
+
             try:
-                for b in batches:
+                inflight: "collections.deque" = collections.deque()
+                bi = 0
+                while bi < len(batches) or inflight:
+                    while bi < len(batches) and len(inflight) < self.prefetch + 2:
+                        inflight.append(
+                            [pool.submit(self.ds.__getitem__, i) for i in batches[bi]]
+                        )
+                        bi += 1
+                    futs = inflight.popleft()
                     if stop.is_set():
                         return
-                    samples = [self.ds[i] for i in b]
+                    samples = [f.result() for f in futs]
                     if self.skip_invalid and not all(
                         self.ds.valid_mask_sample(s) for s in samples
                     ):
                         continue
-                    q.put(_collate(samples))
+                    while not stop.is_set():
+                        try:
+                            q.put(_collate(samples), timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                q.put(None)
+                while not stop.is_set():
+                    try:
+                        q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
-        t = threading.Thread(target=producer, daemon=True)
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        t = threading.Thread(target=collator, args=(pool,), daemon=True)
         t.start()
         try:
             while True:
@@ -243,3 +327,35 @@ class BatchLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def device_prefetch(loader, to_device=None, size: int = 2):
+    """Double-buffer host->device transfer: upload batch i+1 while the step
+    consumes batch i (SURVEY.md §2.8 async-data-loading row — the
+    ``jax.device_put`` side of the pipeline).
+
+    ``to_device`` maps a numpy batch dict to device arrays; defaults to
+    ``jnp.asarray`` per leaf.
+    """
+    import collections
+
+    import jax.numpy as jnp
+
+    if to_device is None:
+        to_device = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
+
+    buf = collections.deque()
+    it = iter(loader)
+    try:
+        for _ in range(size):
+            buf.append(to_device(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(to_device(next(it)))
+        except StopIteration:
+            pass
+        yield out

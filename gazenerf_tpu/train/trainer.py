@@ -142,12 +142,29 @@ def make_train_step(
     disc: Optional[PatchGAN] = None,
     disc_optimizer=None,
     donate: bool = True,
+    mesh=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
-    """Build the jitted train step (loss + grads + per-group Adam update)."""
+    """Build the jitted train step (loss + grads + per-group Adam update).
+
+    With ``mesh`` (axes ``("data", "ray")``), per-ray tensors are constrained
+    to ``P("data", "ray")`` inside the step so the 4096-ray march shards over
+    the ray axis in BOTH the forward and the backward (SURVEY.md §2.8: ray
+    sharding is the SP/CP analogue — the per-ray sample scan stays chip-local,
+    XLA inserts the featmap gather + gradient psum).
+    """
     m = cfg.model
     xy_grid = np.asarray(pixel_grid(m.featmap_size))
     expr_fix = jnp.asarray(expr_fix, jnp.float32)
     bg_value = 1.0 if m.bg_type == "white" else 0.0
+
+    def shard_rays(x):
+        if mesh is None or "ray" not in mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", "ray"))
+        )
 
     def step_fn(
         state: TrainState,
@@ -155,7 +172,9 @@ def make_train_step(
         eye_imp: Optional[jnp.ndarray] = None,
     ):
         B = batch["image"].shape[0]
-        xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
+        xy = shard_rays(
+            jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
+        )
         rng = jax.random.fold_in(state.rng, state.step)
 
         gt = batch["image"]
@@ -163,23 +182,35 @@ def make_train_step(
         lm = batch["left_eye_mask"][..., None]
         rm = batch["right_eye_mask"][..., None]
 
-        # -- optional discriminator update on detached predictions ----------
+        # Render ONCE, saving the vjp.  The reference renders a single
+        # pred_dict, detaches it for the discriminator update, then feeds the
+        # same (non-detached) render through the *updated* discriminator in
+        # the generator loss (reference trainer/gazenerf_trainer.py:487-508).
+        # jax.vjp gives the identical structure: the forward render happens
+        # here, the disc update consumes the stop-gradded prediction, and the
+        # generator gradient is pulled back through the saved vjp afterwards.
+        def render_fn(trainable):
+            sc, ac, gz, R, T, K, opt_code_dict, delta_cam = compose_codes_and_cams(
+                cfg, batch, {k: trainable[k] for k in state.offsets}, expr_fix
+            )
+            pred = model.apply(
+                {"params": trainable["net"]}, xy, sc, ac, gz, R, T, K,
+                train=True, rngs={"sampling": rng},
+            )
+            return pred, opt_code_dict, delta_cam
+
+        trainable = state_lib.trainable_tree(state)
+        render_out, render_vjp = jax.vjp(render_fn, trainable)
+        pred, _, _ = render_out
+
+        # -- optional discriminator update on the detached prediction -------
         disc_fn = None
         new_disc_params = state.disc_params
         new_disc_stats = state.disc_batch_stats
         new_disc_opt = state.disc_opt_state
         if disc is not None and cfg.loss.use_patch_gan_loss:
-            # render once (no grad) for the disc step (reference :489-508)
-            trainable0 = state_lib.trainable_tree(state)
-            sc0, ac0, gz0, R0, T0, K0, _, _ = compose_codes_and_cams(
-                cfg, batch, state.offsets, expr_fix
-            )
-            pred0 = model.apply(
-                {"params": state.params}, xy, sc0, ac0, gz0, R0, T0, K0,
-                train=True, rngs={"sampling": rng},
-            )
             fake_img = jax.lax.stop_gradient(
-                resize_bilinear(pred0["coarse_dict"]["merge_img"], (224, 224))
+                resize_bilinear(pred["coarse_dict"]["merge_img"], (224, 224))
             )
             nonhead3 = jnp.broadcast_to(hm < 0.5, gt.shape)
             real_img = resize_bilinear(jnp.where(nonhead3, 1.0, gt), (224, 224))
@@ -213,17 +244,11 @@ def make_train_step(
                 {"params": dp, "batch_stats": ds}, img, train=False
             )
 
-        # -- generator / main update ---------------------------------------
-        def loss_fn(trainable):
-            sc, ac, gz, R, T, K, opt_code_dict, delta_cam = compose_codes_and_cams(
-                cfg, batch, {k: trainable[k] for k in state.offsets}, expr_fix
-            )
-            pred = model.apply(
-                {"params": trainable["net"]}, xy, sc, ac, gz, R, T, K,
-                train=True, rngs={"sampling": rng},
-            )
+        # -- generator / main update (loss on the saved render) -------------
+        def loss_from_render(out):
+            pred_, opt_code_dict, delta_cam = out
             losses = compute_losses(
-                cfg.loss, pred, gt, hm, lm, rm,
+                cfg.loss, pred_, gt, hm, lm, rm,
                 bg_value=bg_value,
                 eye_loss_importance=eye_imp,
                 vgg_capture_fn=frozen.vgg_capture_fn(),
@@ -235,8 +260,10 @@ def make_train_step(
             )
             return losses["total_loss"], losses
 
-        trainable = state_lib.trainable_tree(state)
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        (_, losses), cotangent = jax.value_and_grad(
+            loss_from_render, has_aux=True
+        )(render_out)
+        (grads,) = render_vjp(cotangent)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, trainable)
         new_trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
 
@@ -265,6 +292,8 @@ def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
 
     @jax.jit
     def eval_fn(state: TrainState, batch):
+        from gazenerf_tpu.losses.gazenerf_loss import masked_mean, region_masks
+
         B = batch["image"].shape[0]
         xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
         sc, ac, gz, R, T, K, _, _ = compose_codes_and_cams(
@@ -275,7 +304,18 @@ def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
         gt = batch["image"]
         mse = jnp.mean((img - gt) ** 2)
         psnr = -10.0 * jnp.log10(mse + 1e-10)
-        return {"mse": mse, "psnr": psnr}, img
+        # per-region losses, matching the reference eval epoch's breakdown
+        # (trainer/gazenerf_trainer.py:601-708)
+        masks = region_masks(
+            batch["head_mask"][..., None],
+            batch["left_eye_mask"][..., None],
+            batch["right_eye_mask"][..., None],
+        )
+        err = (img - gt) ** 2
+        out = {"mse": mse, "psnr": psnr}
+        for name, m_ in masks.items():
+            out[f"{name}_mse"] = masked_mean(err, m_)
+        return out, img
 
     return eval_fn
 
@@ -293,8 +333,10 @@ class Trainer:
         steps_per_epoch: int,
         expr_fix: Optional[np.ndarray] = None,
         seed: Optional[int] = None,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
         seed = cfg.train.seed if seed is None else seed
         self.model = GazeNeRF(cfg.model)
         rng = jax.random.PRNGKey(seed)
@@ -350,12 +392,18 @@ class Trainer:
         )
         self.train_step = make_train_step(
             cfg, self.model, self.optimizer, self.frozen, self.expr_fix,
-            disc=disc, disc_optimizer=disc_opt,
+            disc=disc, disc_optimizer=disc_opt, mesh=mesh,
         )
         self.eval_step = make_eval_step(cfg, self.model, self.expr_fix)
         self.history = []
 
-    def train_epoch(self, loader, epoch: int) -> Dict[str, float]:
+    def train_epoch(
+        self,
+        loader,
+        epoch: int,
+        wandb=None,
+        log_images_every: int = 20,
+    ) -> Dict[str, float]:
         total, n = 0.0, 0
         t0 = time.time()
         # gradual-loss schedule: the reference bumps eye_loss_importance by
@@ -366,13 +414,34 @@ class Trainer:
             eye_imp = jnp.float32(
                 self.cfg.loss.eye_loss_importance + 30.0 * epoch
             )
-        for batch in loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        from gazenerf_tpu.data.h5_dataset import device_prefetch
+
+        for jb in device_prefetch(loader):
             if eye_imp is None:
                 self.state, losses = self.train_step(self.state, jb)
             else:
                 self.state, losses = self.train_step(self.state, jb, eye_imp)
             total += float(losses["total_loss"])
+            # visual QA every N batches (the reference's main correctness
+            # instrument — trainer/gazenerf_trainer.py:530-531 via
+            # utils/logging.py:41-98 log_all_images)
+            if wandb is not None:
+                wandb.log({"batch_loss": float(losses["total_loss"])})
+                if log_images_every and n % log_images_every == 0:
+                    from gazenerf_tpu.utils.logging import log_images
+
+                    _, pred = self.eval_step(self.state, jb)
+                    log_images(
+                        wandb,
+                        "train",
+                        {
+                            "pred": np.asarray(pred[0]),
+                            "gt": np.asarray(jb["image"][0]),
+                            "head_mask": np.asarray(
+                                jb["head_mask"][0]
+                            )[..., None].repeat(3, -1),
+                        },
+                    )
             n += 1
         dt = time.time() - t0
         summary = {

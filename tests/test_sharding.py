@@ -104,3 +104,36 @@ def test_ray_sharded_forward(synth):
     )
     out = fwd(params, xy_sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ray_sharded_train_step_matches(synth):
+    """The mesh-aware TRAIN step (per-ray tensors constrained to
+    P("data","ray"), fwd+bwd) equals the single-device step — the SP/CP
+    analogue demonstrated in training, not just a forward (SURVEY.md §2.8)."""
+    ds = synth
+    cfg = tiny_config(batch=4)
+    loader = BatchLoader(ds, batch_size=4, num_workers=1)
+    batch = next(iter(loader))
+
+    tr1 = Trainer(cfg, train_len=len(ds), steps_per_epoch=1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, losses1 = tr1.train_step(tr1.state, jb)
+
+    mesh = make_mesh(data_parallel=4, ray_parallel=2)
+    tr2 = Trainer(cfg, train_len=len(ds), steps_per_epoch=1, mesh=mesh)
+    state = shard_state(mesh, tr2.state, shard_offsets=True)
+    row = NamedSharding(mesh, P("data"))
+    jb2 = {k: jax.device_put(np.asarray(v), row) for k, v in batch.items()}
+    s2, losses2 = tr2.train_step(state, jb2)
+
+    np.testing.assert_allclose(
+        float(losses1["total_loss"]), float(losses2["total_loss"]), rtol=1e-4
+    )
+    # updated params must match too (the backward ran ray-sharded)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.offsets["iden"]), np.asarray(s2.offsets["iden"]), atol=1e-5
+    )

@@ -157,6 +157,99 @@ def test_patch_gan_path(loader_and_ds):
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+def test_gan_single_render_grad_equivalence(loader_and_ds):
+    """The vjp-split (single-render) step gradient equals the directly
+    composed render->loss gradient with the updated discriminator — i.e.
+    the single-render restructure (reference renders once,
+    trainer/gazenerf_trainer.py:487-508) changes cost, not values."""
+    from gazenerf_tpu.losses.gazenerf_loss import compute_losses
+    from gazenerf_tpu.ops.image import resize_bilinear
+    from gazenerf_tpu.ops.rays import pixel_grid
+    from gazenerf_tpu.train import state as state_lib
+    from gazenerf_tpu.train.trainer import compose_codes_and_cams
+
+    loader, ds = loader_and_ds
+    cfg = Config(
+        model=tiny_config().model,
+        loss=LossConfig(
+            use_vgg_loss=False, use_patch_gan_loss=True, gan_warmup_steps=20
+        ),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    # put the step past the GAN warm-up zero so the generator loss actually
+    # runs the updated discriminator (losses/gazenerf_loss.py warm-up)
+    tr.state = tr.state.replace(step=jnp.asarray(10))
+    # the jitted step donates its input state — keep an undonated copy
+    state0 = jax.tree_util.tree_map(jnp.copy, tr.state)
+
+    # run the real step once to get the post-step params
+    state1, losses = tr.train_step(tr.state, batch)
+
+    # independently: compose render+loss in ONE value_and_grad, using the
+    # post-step disc params (the reference's updated-disc semantics)
+    m = cfg.model
+    xy_grid = np.asarray(pixel_grid(m.featmap_size))
+    B = batch["image"].shape[0]
+    xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
+    rng = jax.random.fold_in(state0.rng, state0.step)
+    gt = batch["image"]
+    hm = batch["head_mask"][..., None]
+    lm = batch["left_eye_mask"][..., None]
+    rm = batch["right_eye_mask"][..., None]
+    dp, dst = state1.disc_params, state1.disc_batch_stats
+    disc_fn = lambda img: tr.disc.apply(  # noqa: E731
+        {"params": dp, "batch_stats": dst}, img, train=False
+    )
+    expr_fix = jnp.asarray(tr.expr_fix, jnp.float32)
+
+    def composed_loss(trainable):
+        sc, ac, gz, R, T, K, ocd, dcam = compose_codes_and_cams(
+            cfg, batch, {k: trainable[k] for k in state0.offsets}, expr_fix
+        )
+        pred = tr.model.apply(
+            {"params": trainable["net"]}, xy, sc, ac, gz, R, T, K,
+            train=True, rngs={"sampling": rng},
+        )
+        l = compute_losses(
+            cfg.loss, pred, gt, hm, lm, rm, bg_value=1.0,
+            disc_fn=disc_fn, opt_code_dict=ocd, delta_cam=dcam,
+            step=state0.step,
+        )
+        return l["total_loss"], l
+
+    trainable = state_lib.trainable_tree(state0)
+    (total_ref, losses_ref), grads_ref = jax.value_and_grad(
+        composed_loss, has_aux=True
+    )(trainable)
+    np.testing.assert_allclose(
+        float(losses["total_loss"]), float(total_ref), rtol=1e-5
+    )
+    # reproduce the update from the reference-composed grads and compare.
+    # At step 1 Adam's m/sqrt(v) is ~sign(g): where |g| ~ 0, f32
+    # re-association between the vjp-split and composed backward can swing
+    # the update anywhere in ±lr, so post-Adam params are only structurally
+    # comparable (a real restructure bug diverges at the 1e-3 step scale,
+    # not 1e-4).  The rtol-1e-5 loss equality above is the tight check.
+    u_ref, _ = tr.optimizer.update(grads_ref, state0.opt_state, trainable)
+    t_ref = jax.tree_util.tree_map(lambda p, u: p + u, trainable, u_ref)
+    t_new = state_lib.trainable_tree(state1)
+    n_total, n_off = 0, 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_ref), jax.tree_util.tree_leaves(t_new)
+    ):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        # one Adam step is bounded by ~lr per element; opposite sign flips
+        # cap the divergence at 2*lr
+        assert d.max() <= 2.5e-3, d.max()
+        n_total += d.size
+        n_off += int((d > 3e-4).sum())
+    # a structural restructure bug shifts the whole tree, not isolated
+    # sign-flip elements
+    assert n_off / n_total < 0.005, (n_off, n_total)
+
+
 def test_degenerate_mask_batch_skipped(synth_dir, tmp_path):
     """Batches with constant masks are skipped (reference guard :556-567)."""
     import h5py
@@ -212,3 +305,62 @@ def test_gradual_loss_schedule(loader_and_ds):
     # epoch loop passes the schedule through without recompiling per epoch
     tr.train_epoch(loader, epoch=0)
     tr.train_epoch(loader, epoch=1)
+
+
+def test_multiworker_loader_matches_serial(synth_dir):
+    """num_workers>1 returns the same batches in the same order as serial
+    (the reference's DataLoader-workers analogue, eth_xgaze.py:109)."""
+    ds = GazeH5Dataset(synth_dir, shuffle=False)
+    serial = list(BatchLoader(ds, batch_size=2, num_workers=1))
+    pooled = list(BatchLoader(ds, batch_size=2, num_workers=4, prefetch=3))
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_target_pair_mode(synth_dir):
+    """evaluate='target' returns (input, target) pairs from the same subject
+    using the target-index table (reference datasets/eth_xgaze.py:358-421)."""
+    tidx = [3, 0, 5, 1, 2, 4]
+    ds = GazeH5Dataset(
+        synth_dir, shuffle=False, evaluate="target", target_index=tidx
+    )
+    s0 = ds[0]
+    assert "target_image" in s0 and "target_landmarks" in s0
+    assert int(s0["target_sample_idx"]) == 3
+    # the target payload is the dataset's own frame 3
+    plain = GazeH5Dataset(synth_dir, shuffle=False)
+    s3 = plain[3]
+    np.testing.assert_array_equal(s0["target_image"], s3["image"])
+    np.testing.assert_array_equal(s0["target_c2w_Rmat"], s3["c2w_Rmat"])
+    # default table exists for all four datasets
+    from gazenerf_tpu.data.target_indices import TARGET_INDICES
+
+    assert set(TARGET_INDICES) == {
+        "eth_xgaze", "mpii_face_gaze", "columbia", "gaze_capture"
+    }
+    assert len(TARGET_INDICES["eth_xgaze"]) == 100
+
+
+def test_index_policy_per_dataset(tmp_path):
+    """ETH-XGaze train uses 43*18 front + 7*18 rear-reversed; the other
+    datasets index the full range (reference eth_xgaze.py:260-267 vs
+    mpii_face_gaze.py:255-263)."""
+    d = str(tmp_path / "mpii")
+    write_synthetic_subject(d, num_frames=5, img_size=64, prefix="mpii_")
+    ds = GazeH5Dataset(d, dataset="mpii_face_gaze", shuffle=False)
+    assert [fi for _, fi in ds.index] == [0, 1, 2, 3, 4]
+    # eth policy on a file larger than frames_per_subject
+    d2 = str(tmp_path / "eth")
+    write_synthetic_subject(d2, num_frames=12, img_size=64)
+    ds2 = GazeH5Dataset(
+        d2, dataset="eth_xgaze", shuffle=False, frames_per_subject=10
+    )
+    # front = min(43*18, 12) = 12 -> all frames front, no rear segment
+    assert [fi for _, fi in ds2.index] == list(range(12))
+    # val split: first num_val_images
+    ds3 = GazeH5Dataset(d2, split="val", num_val_images=3, shuffle=False,
+                        subjects=["subject0000.h5"])
+    assert [fi for _, fi in ds3.index] == [0, 1, 2]
