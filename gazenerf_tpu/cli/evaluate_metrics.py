@@ -44,7 +44,56 @@ def build_estimator(ckpt_path: str):
     sd = sd.get("model_state", sd)
     variables = gaze_resnet_from_torch({k: v.numpy() for k, v in sd.items()})
     net = GazeResNet()
+    # input contract: ImageNet-normalized 224x224 (the protocol applies the
+    # reference's ``trans`` before calling — utils/metrics_utils.py:31-38)
     return jax.jit(lambda img: net.apply(variables, img))
+
+
+def build_lpips(vgg_ckpt: str, lin_ckpt: str):
+    """Exact LPIPS (reference piq.LPIPS, utils/metrics_utils.py:370) from a
+    torchvision VGG16 checkpoint + the published linear-head weights.  With
+    no checkpoints returns None (protocols fall back to the uniform-weight
+    perceptual distance)."""
+    if not vgg_ckpt:
+        return None
+    import torch
+
+    from gazenerf_tpu.eval.metrics import (
+        LPIPS_CAPTURE,
+        lpips_lin_from_torch,
+        make_lpips_fn,
+    )
+    from gazenerf_tpu.models.vgg import vgg_features_from_torch
+
+    sd = torch.load(vgg_ckpt, map_location="cpu")
+    params = vgg_features_from_torch({k: v.numpy() for k, v in sd.items()})
+    lin = None
+    if lin_ckpt:
+        lw = torch.load(lin_ckpt, map_location="cpu")
+        lin = lpips_lin_from_torch(
+            [w.numpy() for w in lw] if isinstance(lw, (list, tuple))
+            else {k: v.numpy() for k, v in lw.items()}
+        )
+    return make_lpips_fn({"params": params}, lin_weights=lin)
+
+
+def build_fid_features(inception_ckpt: str):
+    """Exact FID features (reference piq.FID == InceptionV3 pool3,
+    utils/metrics_utils.py:101-105) from a pytorch-fid checkpoint."""
+    if not inception_ckpt:
+        return None
+    import torch
+
+    from gazenerf_tpu.models.inception import (
+        inception_from_torch,
+        make_fid_features_fn,
+    )
+
+    sd = torch.load(inception_ckpt, map_location="cpu")
+    sd = sd.get("state_dict", sd)
+    return make_fid_features_fn(
+        inception_from_torch({k: v.numpy() for k, v in sd.items()})
+    )
 
 
 def build_identity_pipeline(embed_ckpt: str, detector_ckpt: str,
@@ -109,35 +158,70 @@ def main(argv=None) -> int:
                    help="torch RetinaFace checkpoint")
     p.add_argument("--identity_aligner_ckpt", type=str, default="",
                    help="torch PFLD checkpoint")
+    p.add_argument("--vgg_ckpt", type=str, default="",
+                   help="torchvision VGG16 checkpoint (exact LPIPS)")
+    p.add_argument("--lpips_lin_ckpt", type=str, default="",
+                   help="LPIPS linear-head weights")
+    p.add_argument("--inception_ckpt", type=str, default="",
+                   help="pytorch-fid InceptionV3 checkpoint (exact FID)")
+    p.add_argument("--cam_dir", type=str, default="",
+                   help="per-camera calibration dir (camNN.xml / CameraNN.mat)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     logging.basicConfig(level=logging.INFO)
 
+    use_target = args.evaluation_type == "input_target_images"
     ds = GazeH5Dataset(
         cfg.data.img_dir,
         subjects=[args.subject] if args.subject else None,
         dataset=cfg.data.dataset, shuffle=False,
+        evaluate="target" if use_target else None,
     )
     loader = BatchLoader(ds, 1, num_workers=1, skip_invalid=False)
     batches = []
     for i, b in enumerate(loader):
-        if i >= 2 * args.max_pairs:
+        if i >= (args.max_pairs if use_target else 2 * args.max_pairs):
             break
         batches.append(b)
 
     trainer = Trainer(cfg, train_len=1, steps_per_epoch=1)
     if args.resume:
         trainer.state, _, _ = load_checkpoint(args.resume, trainer.state)
+
+    identity_pipeline = None
+    if args.identity_embed_ckpt or args.identity_detector_ckpt or args.identity_aligner_ckpt:
+        identity_pipeline = build_identity_pipeline(
+            args.identity_embed_ckpt, args.identity_detector_ckpt,
+            args.identity_aligner_ckpt,
+        )
+    cam_lookup = None
+    if args.cam_dir:
+        from gazenerf_tpu.data.cameras import (
+            load_camera_calibrations,
+            make_cam_lookup,
+        )
+
+        cams = load_camera_calibrations(cfg.data.dataset, args.cam_dir)
+        cam_lookup = make_cam_lookup(
+            cfg.data.dataset, cams, subject=args.subject or ""
+        )
+    from gazenerf_tpu.eval.protocols import make_eval_normalizer
+
     ctx = EvalContext.build(
         cfg, trainer.model, trainer.state, trainer.frozen, trainer.expr_fix,
-        fit_steps=args.fit_steps, estimator_fn=build_estimator(args.estimator_ckpt),
+        fit_steps=args.fit_steps,
+        estimator_fn=build_estimator(args.estimator_ckpt),
+        identity_pipeline=identity_pipeline,
+        lpips_fn=build_lpips(args.vgg_ckpt, args.lpips_lin_ckpt),
+        fid_feats_fn=build_fid_features(args.inception_ckpt),
+        normalizer=make_eval_normalizer(),
+        cam_lookup=cam_lookup,
     )
 
     if args.evaluation_type == "input_target_images":
-        pairs = [
-            {"input": batches[i], "target": batches[i + 1]}
-            for i in range(0, len(batches) - 1, 2)
-        ]
+        from gazenerf_tpu.eval.protocols import split_target_batch
+
+        pairs = [split_target_batch(b) for b in batches]
         res = evaluate_input_target_images(ctx, pairs[: args.max_pairs])
     elif args.evaluation_type == "consistency":
         res = evaluate_consistency(ctx, batches[: args.max_pairs])

@@ -103,3 +103,65 @@ def orbit_cameras(view_num: int, featmap_size: int) -> List[Dict[str, np.ndarray
             }
         )
     return cams
+
+
+def load_camera_calibrations(dataset: str, cam_dir: str):
+    """Per-camera (matrix, distortion) calibration loading.
+
+    Mirrors reference evaluate_metrics.py:57-99 ``load_cams``:
+    ETH-XGaze: 18 OpenCV-XML files ``cam00.xml..cam17.xml``; MPII: 15
+    ``CameraNN.mat``; Columbia / GazeCapture: a single ``cam00.xml``.
+    Returns a list of (K, dist) for multi-camera datasets, or one pair.
+    """
+    import os
+
+    import cv2
+
+    def read_xml(path):
+        fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+        K = fs.getNode("Camera_Matrix").mat()
+        d = fs.getNode("Distortion_Coefficients").mat()
+        fs.release()
+        return np.asarray(K, np.float64), np.asarray(d, np.float64)
+
+    if dataset == "eth_xgaze":
+        return [
+            read_xml(os.path.join(cam_dir, "cam%02d.xml" % i)) for i in range(18)
+        ]
+    if dataset == "mpii_face_gaze":
+        import scipy.io
+
+        out = []
+        for i in range(15):
+            mat = scipy.io.loadmat(os.path.join(cam_dir, "Camera%02d.mat" % i))
+            out.append(
+                (
+                    np.asarray(mat["cameraMatrix"], np.float64),
+                    np.asarray(mat["distCoeffs"], np.float64),
+                )
+            )
+        return out
+    # columbia / gaze_capture: one camera
+    return read_xml(os.path.join(cam_dir, "cam00.xml"))
+
+
+def make_cam_lookup(dataset: str, cams, subject: str = ""):
+    """``cam_index -> (K, dist)`` (reference utils/metrics_utils.py:124-136
+    ``select_cam_matrix``).
+
+    MPII indexes by the subject number and pins the principal point to 256;
+    Columbia / GazeCapture have a single camera regardless of index.
+    """
+
+    def lookup(cam_ind: int):
+        if dataset == "eth_xgaze":
+            return cams[cam_ind]
+        if dataset == "mpii_face_gaze":
+            K, d = cams[int(subject[-5:-3])]
+            K = np.array(K, np.float64, copy=True)
+            K[0, 2] = 256.0
+            K[1, 2] = 256.0
+            return K, d
+        return cams  # single (K, dist) pair
+
+    return lookup

@@ -89,6 +89,81 @@ def lpips_like(
     return total
 
 
+# LPIPS capture points in VGG16: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+LPIPS_CAPTURE = (1, 3, 6, 9, 12)
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+
+def make_lpips_fn(vgg_variables, lin_weights=None, dtype=jnp.float32):
+    """Build the exact LPIPS metric (the reference's ``piq.LPIPS()``,
+    utils/metrics_utils.py:370).
+
+    Formulation (Zhang et al., the "lin" variant piq ships weights for):
+    VGG16 features at the five ReLU capture points, channel-unit-normalized,
+    squared difference, a learned non-negative per-channel linear head,
+    spatial average, summed over layers.  ``lin_weights`` is a list of five
+    ``[C]`` arrays (see :func:`lpips_lin_from_torch`); with ``None`` every
+    channel weighs 1.0 — a consistent relative metric, not the published one.
+    """
+    from gazenerf_tpu.models.vgg import VGG16Features, normalize_imagenet
+
+    vgg = VGG16Features(capture=LPIPS_CAPTURE, dtype=dtype)
+    if lin_weights is None:
+        lin_weights = [np.ones((c,), np.float32) for c in LPIPS_CHANNELS]
+    lin_weights = [jnp.asarray(w).reshape(-1) for w in lin_weights]
+
+    @jax.jit
+    def lpips(a, b):
+        fa, _ = vgg.apply(vgg_variables, normalize_imagenet(a.astype(dtype)))
+        fb, _ = vgg.apply(vgg_variables, normalize_imagenet(b.astype(dtype)))
+        total = 0.0
+        for x, y, w in zip(fa, fb, lin_weights):
+            xn = x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-10)
+            yn = y * jax.lax.rsqrt(jnp.sum(y * y, axis=-1, keepdims=True) + 1e-10)
+            d2 = (xn - yn) ** 2
+            total = total + jnp.mean(jnp.sum(d2 * w, axis=-1), axis=(-2, -1))
+        return total.astype(jnp.float32)
+
+    return lpips
+
+
+def lpips_lin_from_torch(sd) -> list:
+    """Official LPIPS "lin" head state dict -> list of five ``[C]`` arrays.
+
+    Accepts the original repo's ``lin{i}.model.1.weight`` ([1,C,1,1]) keys,
+    piq's list-of-tensors weight file, or any dict whose values are the five
+    heads in layer order.
+    """
+    if isinstance(sd, (list, tuple)):
+        return [np.asarray(w).reshape(-1) for w in sd]
+    keys = sorted(k for k in sd if k.endswith("weight"))
+    return [np.asarray(sd[k]).reshape(-1) for k in keys]
+
+
+def fid(
+    feats_fn: Callable,
+    images_a,
+    images_b,
+    batch_size: int = 8,
+) -> float:
+    """FID between two image sets via pluggable feature extractor.
+
+    With ``feats_fn`` from ``models.inception.make_fid_features_fn`` on
+    transplanted weights this is the reference's ``calculate_FID``
+    (utils/metrics_utils.py:101-105: piq ``FID().compute_feats`` ==
+    InceptionV3 pool3 features + exact Frechet distance).
+    """
+
+    def run(images):
+        out = []
+        for i in range(0, len(images), batch_size):
+            chunk = jnp.stack([jnp.asarray(im) for im in images[i : i + batch_size]])
+            out.append(np.asarray(feats_fn(chunk)))
+        return np.concatenate(out, 0)
+
+    return frechet_distance(run(images_a), run(images_b))
+
+
 def frechet_distance(
     feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6
 ) -> float:

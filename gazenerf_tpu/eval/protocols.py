@@ -43,6 +43,52 @@ def _single(batch: Dict[str, np.ndarray], i: int = 0) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v[i : i + 1]) for k, v in batch.items()}
 
 
+def split_target_batch(batch: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """A target-mode loader batch (``target_*`` keys) -> {"input", "target"}."""
+    inp = {k: v for k, v in batch.items() if not k.startswith("target_")}
+    tgt = {
+        k[len("target_"):]: v for k, v in batch.items() if k.startswith("target_")
+    }
+    return {"input": inp, "target": tgt}
+
+
+def make_eval_normalizer(img_dim: int = 224) -> Callable:
+    """Eval-time estimator-input normalization (the reference warps both GT
+    and prediction through this before the frozen estimator — reference
+    utils/gaze_estimation_utils.py:55-143, called from
+    utils/metrics_utils.py:265-283,299-313).
+
+    solvePnP head pose from the 6-point landmark subset, then the
+    focal-960 / distance-600 virtual-camera warp to ``img_dim``.
+    Returns ``normalizer(img01 [H,W,3], landmarks68 [68,2], cam_matrix,
+    cam_distortion) -> [img_dim, img_dim, 3] float in [0,1]``.
+    """
+    from gazenerf_tpu.data.face_model import FACE_MODEL_3D
+    from gazenerf_tpu.preprocess.normalize import (
+        estimate_head_pose,
+        normalize_face,
+    )
+
+    # face-model rows [20,23,26,29,15,19] pair with 68-landmark indices
+    # [36,39,42,45,31,35] (reference gaze_estimation_utils.py:61-66)
+    fm = FACE_MODEL_3D[[20, 23, 26, 29, 15, 19], :]
+
+    def normalizer(img01, landmarks68, cam_matrix, cam_distortion):
+        u8 = (np.clip(np.asarray(img01), 0.0, 1.0) * 255).astype(np.uint8)
+        lm = np.asarray(landmarks68, np.float64)[[36, 39, 42, 45, 31, 35], :]
+        rvec, tvec = estimate_head_pose(
+            lm, fm, np.asarray(cam_matrix, np.float64),
+            np.asarray(cam_distortion, np.float64), iterations=1,
+        )
+        warped, _, _ = normalize_face(
+            u8, fm, rvec, tvec, np.asarray(cam_matrix, np.float64),
+            img_dim=img_dim, focal_norm=960.0, distance_norm=600.0,
+        )
+        return warped.astype(np.float32) / 255.0
+
+    return normalizer
+
+
 @dataclasses.dataclass
 class EvalContext:
     """Bundles the jitted fit/predict/optimize closures around a base state."""
@@ -61,6 +107,13 @@ class EvalContext:
     # preferred over embed_fn when set (reference
     # face_recognition/evaluation_similarity.py:16-86)
     identity_pipeline: Optional[Callable] = None
+    # exact-backend hooks (reference piq LPIPS / piq FID-InceptionV3)
+    lpips_fn: Optional[Callable] = None  # (a, b) -> [B] distances
+    fid_feats_fn: Optional[Callable] = None  # imgs -> [B, 2048] pool3 feats
+    # estimator-input normalization (make_eval_normalizer) + per-camera
+    # calibration lookup: cam_index -> (camera_matrix, distortion)
+    normalizer: Optional[Callable] = None
+    cam_lookup: Optional[Callable] = None
 
     @classmethod
     def build(
@@ -74,6 +127,10 @@ class EvalContext:
         estimator_fn=None,
         embed_fn=None,
         identity_pipeline=None,
+        lpips_fn=None,
+        fid_feats_fn=None,
+        normalizer=None,
+        cam_lookup=None,
     ) -> "EvalContext":
         return cls(
             cfg=cfg,
@@ -86,29 +143,90 @@ class EvalContext:
             feats_fn=frozen.vgg_capture_fn(),
             embed_fn=embed_fn,
             identity_pipeline=identity_pipeline,
+            lpips_fn=lpips_fn,
+            fid_feats_fn=fid_feats_fn,
+            normalizer=normalizer,
+            cam_lookup=cam_lookup,
         )
 
 
-def _pair_metrics(ctx: EvalContext, pred_img, target_img) -> Dict[str, float]:
+def _resize224_u8(img01: jnp.ndarray) -> np.ndarray:
+    """[1,H,W,3] float01 -> [224,224,3] uint8 RGB (reference ``trans_resize``
+    + uint8 cast, utils/metrics_utils.py:327-335)."""
+    from gazenerf_tpu.ops.image import resize_bilinear
+
+    r = resize_bilinear(img01, (224, 224))[0]
+    return (np.clip(np.asarray(r), 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def _pair_metrics(ctx: EvalContext, pred_img, target_img, tgt) -> Dict[str, float]:
+    """Reference-faithful per-pair metrics (utils/metrics_utils.py:255-384).
+
+    ``target_img`` must already be nonhead-whitened; both images are full-res
+    [1,H,W,3] in [0,1].
+    """
     out = {
         "ssim": float(M.ssim(pred_img, target_img)[0]),
         "psnr": float(M.psnr(pred_img, target_img)[0]),
         "l1": float(M.l1(pred_img, target_img)[0]),
     }
-    if ctx.feats_fn is not None:
+    if ctx.lpips_fn is not None:
+        out["lpips"] = float(ctx.lpips_fn(target_img, pred_img)[0])
+    elif ctx.feats_fn is not None:
         out["lpips"] = float(M.lpips_like(ctx.feats_fn, pred_img, target_img)[0])
-    if ctx.estimator_fn is not None:
-        g, h = M.gaze_and_head_error(ctx.estimator_fn, pred_img, target_img)
-        out["gaze_angular_deg"] = float(g[0])
-        out["head_angular_deg"] = float(h[0])
-    if ctx.identity_pipeline is not None:
-        def to_bgr_u8(img):
-            a = np.clip(np.asarray(img)[0], 0.0, 1.0)
-            return (a[..., ::-1] * 255).astype(np.uint8)
 
-        out["identity_similarity"] = float(
-            ctx.identity_pipeline(to_bgr_u8(pred_img), to_bgr_u8(target_img))
+    if ctx.estimator_fn is not None:
+        from gazenerf_tpu.models.vgg import normalize_imagenet
+        from gazenerf_tpu.ops.image import resize_bilinear
+        from gazenerf_tpu.ops.rotation import (
+            angular_error_deg,
+            pitchyaw_to_vector,
         )
+
+        if ctx.normalizer is not None:
+            # the reference warps BOTH images through the target's camera +
+            # landmarks before the estimator (metrics_utils.py:265-283,299-313);
+            # with no calibration files, degrade to the h5-stored intrinsics
+            # and zero distortion
+            if ctx.cam_lookup is not None:
+                cam_K, cam_d = ctx.cam_lookup(
+                    int(np.asarray(tgt["cam_index"]).reshape(-1)[0])
+                )
+            else:
+                cam_K = np.asarray(tgt["inmat"])[0]
+                cam_d = np.zeros((5, 1))
+            lm68 = np.asarray(tgt["landmarks"])[0]
+            gt_in = ctx.normalizer(np.asarray(target_img[0]), lm68, cam_K, cam_d)
+            pr_in = ctx.normalizer(np.asarray(pred_img[0]), lm68, cam_K, cam_d)
+            gt_in = jnp.asarray(gt_in)[None]
+            pr_in = jnp.asarray(pr_in)[None]
+        else:
+            gt_in = resize_bilinear(target_img, (224, 224))
+            pr_in = resize_bilinear(pred_img, (224, 224))
+        g_gt, h_gt = ctx.estimator_fn(normalize_imagenet(gt_in))
+        g_pr, h_pr = ctx.estimator_fn(normalize_imagenet(pr_in))
+        out["gaze_angular_deg"] = float(
+            jnp.mean(angular_error_deg(
+                pitchyaw_to_vector(g_gt), pitchyaw_to_vector(g_pr)
+            ))
+        )
+        out["head_angular_deg"] = float(
+            jnp.mean(angular_error_deg(
+                pitchyaw_to_vector(h_gt), pitchyaw_to_vector(h_pr)
+            ))
+        )
+
+    if ctx.identity_pipeline is not None:
+        # reference: 224-resized uint8 RGB pairs through the FaceX-Zoo
+        # pipeline; any failure scores -0.1 (metrics_utils.py:327-340)
+        try:
+            out["identity_similarity"] = float(
+                ctx.identity_pipeline(
+                    _resize224_u8(target_img), _resize224_u8(pred_img)
+                )
+            )
+        except Exception:
+            out["identity_similarity"] = -0.1
     elif ctx.embed_fn is not None:
         out["identity_similarity"] = float(
             M.identity_similarity(ctx.embed_fn, pred_img, target_img)[0]
@@ -120,12 +238,18 @@ def evaluate_input_target_images(
     ctx: EvalContext,
     pairs: List[Dict[str, Dict[str, np.ndarray]]],
 ) -> Dict[str, float]:
-    """``pairs``: list of {"input": batch, "target": batch} single-sample dicts.
+    """``pairs``: list of {"input": batch, "target": batch} single-sample dicts
+    (build them from a target-mode loader with :func:`split_target_batch`).
 
-    Returns mean metrics over all pairs + FID between predicted and target
-    sets (reference utils/metrics_utils.py:137-402).
+    Reference pipeline per pair (utils/metrics_utils.py:137-402): few-shot
+    fit on the input image; re-render with the target's camera + gaze;
+    nonhead-whiten the GT; nan_to_num(pred, nan=1.0); quality metrics at
+    full res; gaze/head angular through the normalization + frozen
+    estimator; identity via the FaceX-Zoo pipeline at 224; FID between the
+    collected whitened-GT and prediction sets.
     """
     per_pair = []
+    gt_images, pred_images = [], []
     pred_feats, tgt_feats = [], []
     for pair in pairs:
         inp = _single(pair["input"])
@@ -134,19 +258,29 @@ def evaluate_input_target_images(
         fitted, _ = ctx.fit(ctx.base_state, inp)
         # re-render with the target's camera + gaze
         pred = ctx.predict(fitted, tgt)
-        pred = jnp.nan_to_num(pred)  # reference guard :295
-        m = _pair_metrics(ctx, pred, tgt["image"])
+        pred = jnp.nan_to_num(pred, nan=1.0)  # reference guard :295
+        # nonhead region of the GT forced to white (reference :257-263)
+        hm = tgt["head_mask"][..., None]
+        gt = jnp.where(
+            jnp.broadcast_to(hm < 0.5, tgt["image"].shape), 1.0, tgt["image"]
+        )
+        m = _pair_metrics(ctx, pred, gt, tgt)
         per_pair.append(m)
-        if ctx.feats_fn is not None:
+        if ctx.fid_feats_fn is not None:
+            gt_images.append(np.asarray(gt[0]))
+            pred_images.append(np.asarray(pred[0]))
+        elif ctx.feats_fn is not None:
             pf = ctx.feats_fn(pred)[-1]
-            tf = ctx.feats_fn(tgt["image"])[-1]
+            tf = ctx.feats_fn(gt)[-1]
             pred_feats.append(np.asarray(pf).reshape(pf.shape[0], -1).mean(0))
             tgt_feats.append(np.asarray(tf).reshape(tf.shape[0], -1).mean(0))
 
     result = {
         k: float(np.mean([m[k] for m in per_pair])) for k in per_pair[0]
     }
-    if len(pred_feats) >= 2:
+    if len(gt_images) >= 2:
+        result["fid"] = M.fid(ctx.fid_feats_fn, gt_images, pred_images)
+    elif len(pred_feats) >= 2:
         result["fid"] = M.frechet_distance(
             np.stack(pred_feats), np.stack(tgt_feats)
         )

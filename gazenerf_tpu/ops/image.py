@@ -167,3 +167,37 @@ def upsample2x_blur(x: jnp.ndarray) -> jnp.ndarray:
     """
     B, H, W, C = x.shape
     return blur3x3(resize_bilinear(x, (2 * H, 2 * W)))
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
+    """Nearest-neighbour resize (torch ``F.interpolate(mode="nearest")``
+    semantics: index = floor(out_i * in/out))."""
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    hi = (jnp.arange(oh) * (H / oh)).astype(jnp.int32)
+    wi = (jnp.arange(ow) * (W / ow)).astype(jnp.int32)
+    return x[:, hi][:, :, wi]
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
+    """Bilinear resize with torch ``align_corners=True`` semantics:
+    src = out_i * (in-1)/(out-1) (corner pixels map exactly)."""
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+
+    def axis_coords(n_in, n_out):
+        if n_out == 1:
+            return jnp.zeros((1,))
+        return jnp.arange(n_out) * ((n_in - 1) / (n_out - 1))
+
+    ys = axis_coords(H, oh)
+    xs = axis_coords(W, ow)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy

@@ -192,3 +192,81 @@ def test_gaze_resnet_estimator(rng):
     variables = net.init(jax.random.PRNGKey(0), x)
     gaze, head = net.apply(variables, x)
     assert gaze.shape == (1, 2) and head.shape == (1, 2)
+
+
+# ---------------- reference-faithful protocol plumbing ----------------
+
+
+def test_eval_normalizer_matches_reference():
+    """make_eval_normalizer == the reference's eval-time ``normalize``
+    (utils/gaze_estimation_utils.py:55-143) on a synthetic camera: same
+    solvePnP staging, same focal-960/distance-600 virtual-camera warp."""
+    import sys
+
+    cv2 = pytest.importorskip("cv2")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from utils.gaze_estimation_utils import normalize as ref_normalize
+
+    from gazenerf_tpu.data.face_model import FACE_MODEL_3D
+    from gazenerf_tpu.eval.protocols import make_eval_normalizer
+
+    rng = np.random.default_rng(11)
+    K = np.array([[1200.0, 0, 256.0], [0, 1200.0, 256.0], [0, 0, 1.0]])
+    dist = np.zeros((5, 1))
+    # plausible head pose: project the face model to get landmark positions
+    rvec = np.array([[0.1], [0.2], [0.05]])
+    tvec = np.array([[10.0], [20.0], [950.0]])
+    pts2d, _ = cv2.projectPoints(FACE_MODEL_3D, rvec, tvec, K, dist)
+    pts2d = pts2d.reshape(-1, 2)
+    lm68 = np.zeros((68, 2))
+    # rows used by normalization: face model [20,23,26,29,15,19] pair with
+    # landmarks [36,39,42,45,31,35]
+    for fm_i, lm_i in zip([20, 23, 26, 29, 15, 19], [36, 39, 42, 45, 31, 35]):
+        lm68[lm_i] = pts2d[fm_i]
+    img01 = rng.random((512, 512, 3)).astype(np.float32)
+
+    ours = make_eval_normalizer(img_dim=224)(img01, lm68, K, dist)
+    want = ref_normalize(
+        (img01 * 255).astype(np.uint8), K, dist, FACE_MODEL_3D, lm68, 224
+    )
+    np.testing.assert_allclose(
+        ours * 255.0, want.astype(np.float32), atol=1.0
+    )
+    # the warp must be a real crop, not identity
+    assert ours.shape == (224, 224, 3)
+
+
+def test_protocol_whitens_nonhead_gt(setup):
+    """Image metrics ignore the GT's non-head content (reference whitens it
+    before SSIM/PSNR/LPIPS/L1/FID — utils/metrics_utils.py:257-263)."""
+    cfg, tr, ctx, batches = setup
+    base = {k: np.array(v) for k, v in batches[1].items()}
+    noisy = {k: np.array(v) for k, v in base.items()}
+    nh = base["head_mask"][0] < 0.5
+    noisy["image"] = base["image"].copy()
+    noisy["image"][0][nh] = 0.123  # garbage outside the head
+    r1 = evaluate_input_target_images(
+        ctx, [{"input": batches[0], "target": base}]
+    )
+    r2 = evaluate_input_target_images(
+        ctx, [{"input": batches[0], "target": noisy}]
+    )
+    for k in ("ssim", "psnr", "l1"):
+        np.testing.assert_allclose(r1[k], r2[k], rtol=1e-5)
+
+
+def test_split_target_batch(tmp_path):
+    from gazenerf_tpu.eval.protocols import split_target_batch
+
+    d = str(tmp_path / "pairs")
+    write_synthetic_subject(d, num_frames=4, img_size=64)
+    ds = GazeH5Dataset(
+        d, shuffle=False, evaluate="target", target_index=[2, 3, 0, 1]
+    )
+    loader = BatchLoader(ds, batch_size=1, num_workers=1, skip_invalid=False)
+    batch = next(iter(loader))
+    pair = split_target_batch(batch)
+    assert pair["input"]["image"].shape == pair["target"]["image"].shape
+    assert "landmarks" in pair["target"] and "inmat" in pair["target"]
+    assert int(pair["target"]["sample_idx"][0]) == 2

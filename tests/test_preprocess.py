@@ -314,3 +314,54 @@ def test_load_basis_pkl_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(tex)[0], np.clip(d["mu_tex"].reshape(V, 3), 0, 1), atol=1e-6
     )
+
+
+def test_bisenet_torch_parity():
+    """Flax BiSeNet == the reference's vendored torch BiSeNet on transplanted
+    random weights (reference pre_processing/bisenet.py:226, resnet.py:56) —
+    main head, eval mode, including the nearest / align-corners=True
+    interpolation semantics."""
+    import sys
+
+    import torch
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import torch.utils.model_zoo as modelzoo
+
+    # the reference trunk downloads ImageNet weights at init; zero-egress env
+    modelzoo.load_url = lambda url: {}
+    from pre_processing.bisenet import BiSeNet as RefBiSeNet
+
+    from gazenerf_tpu.preprocess.bisenet import BiSeNet, bisenet_from_torch
+
+    tnet = RefBiSeNet(19)
+    g = torch.Generator().manual_seed(21)
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) * 0.05)
+                if m.bias is not None:
+                    m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.05)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1
+                )
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5
+                )
+    tnet.eval()
+
+    variables = bisenet_from_torch(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}
+    )
+    rng = np.random.default_rng(22)
+    x = rng.random((1, 64, 64, 3), np.float32)
+    got = np.asarray(BiSeNet().apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))[0]
+    want = want.numpy().transpose(0, 2, 3, 1)
+    assert got.shape == want.shape == (1, 64, 64, 19)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-2)
