@@ -39,7 +39,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--step_decay", type=int, default=1000)
     p.add_argument("--num_epochs", type=int, default=75)
     p.add_argument("--seed", type=int, default=45)
-    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--resume", type=str, default="", help="checkpoint path")
     p.add_argument("--use_vgg_loss", type=str2bool, default=True)
@@ -55,6 +55,20 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--renderer_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--log", type=str2bool, default=False, help="wandb logging")
+    p.add_argument("--debug_nans", type=str2bool, default=False,
+                   help="jax.config.debug_nans — the reference's "
+                        "set_detect_anomaly analogue (SURVEY.md §5)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the first epoch here")
+
+
+def apply_debug_flags(args) -> None:
+    """Runtime debug/observability toggles (SURVEY.md §5: the planned
+    jit-level NaN sanitizer + profiler wiring)."""
+    import jax
+
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
 
 
 def setup_compilation_cache(cache_dir: Optional[str] = None) -> None:

@@ -59,6 +59,9 @@ def main(argv=None) -> int:
                    help="torch nl3dmm_net_dict.pth for the geometry decoder")
     p.add_argument("--fit_image_size", type=int, default=128)
     p.add_argument("--fit", type=str2bool, default=True)
+    p.add_argument("--qa_render_dir", type=str, default="",
+                   help="write fitted-mesh QA renders here (reference "
+                        "gen_nl3dmm_render_res.py)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -131,6 +134,7 @@ def main(argv=None) -> int:
     out = process_subject(
         frames, args.out, K, face_model, fitter=fitter,
         img_size=args.img_size, dataset=args.dataset,
+        qa_dir=args.qa_render_dir or None,
     )
     logger.info("done -> %s", out)
     return 0

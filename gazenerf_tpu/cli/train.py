@@ -12,7 +12,11 @@ import logging
 import os
 import time
 
-from gazenerf_tpu.cli.common import add_common_args, config_from_args
+from gazenerf_tpu.cli.common import (
+    add_common_args,
+    apply_debug_flags,
+    config_from_args,
+)
 from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
 from gazenerf_tpu.train.trainer import Trainer
 from gazenerf_tpu.utils.logging import configure_logging, maybe_wandb_init
@@ -27,6 +31,7 @@ def main(argv=None) -> int:
                    help="restrict to a single subject file")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
+    apply_debug_flags(args)
 
     configure_logging(os.path.join(cfg.train.checkpoint_dir, "train.log"))
     wandb = maybe_wandb_init(args.log, config=cfg.to_json())
@@ -53,7 +58,17 @@ def main(argv=None) -> int:
     t0 = time.time()
     total_samples = 0
     for epoch in range(cfg.train.num_epochs):
-        summary = trainer.train_epoch(loader, epoch)
+        # profiler trace of the first epoch (SURVEY.md §5 tracing analogue)
+        if args.profile_dir and epoch == 0:
+            import jax
+
+            jax.profiler.start_trace(args.profile_dir)
+        summary = trainer.train_epoch(loader, epoch, wandb=wandb)
+        if args.profile_dir and epoch == 0:
+            import jax
+
+            jax.profiler.stop_trace()
+            logger.info("profiler trace -> %s", args.profile_dir)
         total_samples += summary["batches"] * cfg.train.batch_size
         logger.info(
             "epoch %d: loss %.5f (%d batches, %.1fs)",

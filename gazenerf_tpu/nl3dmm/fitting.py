@@ -142,6 +142,28 @@ class NL3DMMFitter:
         )
         return img, alpha, lm2d, sh_vcs
 
+    def render_fit(self, result: Dict[str, np.ndarray]):
+        """Re-render a finished fit for visual QA (the reference's
+        fitted-mesh render loop, surface_fitting/nl3dmm/gen_nl3dmm_render_res.py:18).
+
+        The fitted camera offsets are already composed into ``w2c_*``
+        (``w2c_R = base_R @ c2l_R``), so rendering with zero deltas over the
+        fitted w2c reproduces the fit view.  Returns
+        ``(images [B,H,W,3] in [0,1], alpha [B,H,W], landmarks2d [B,68,2])``.
+        """
+        code = jnp.asarray(result["code"])
+        B = code.shape[0]
+        cams = {
+            "base_w2c_R": jnp.asarray(result["w2c_Rmat"]),
+            "base_w2c_T": jnp.asarray(result["w2c_Tvec"]),
+            "inmat": jnp.asarray(result["inmat"]),
+            "delta_euler": jnp.zeros((B, 3)),
+            "delta_tvec": jnp.zeros((B, 3)),
+        }
+        dec = jax.tree_util.tree_map(jnp.asarray, self.decoder_params)
+        img, alpha, lm2d, _ = self._render({"code": code}, cams, dec)
+        return np.asarray(img), np.asarray(alpha), np.asarray(lm2d)
+
     def _loss(self, trainable, frozen, batch, lm_w):
         cfg = self.cfg
         codes = {"code": trainable["code"]}

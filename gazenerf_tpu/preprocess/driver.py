@@ -182,8 +182,13 @@ def process_subject(
     fitter=None,
     img_size: int = 512,
     dataset: str = "eth_xgaze",
+    qa_dir: Optional[str] = None,
 ) -> str:
-    """Process a subject's frames into one h5; optional NL-3DMM fitting."""
+    """Process a subject's frames into one h5; optional NL-3DMM fitting.
+
+    ``qa_dir``: write fitted-mesh-vs-frame side-by-side renders there (the
+    reference's fit-QA loop, surface_fitting/nl3dmm/gen_nl3dmm_render_res.py:18).
+    """
     det = LandmarkDetector()
     writer = SubjectWriter(out_path, img_size)
     rows = []
@@ -220,6 +225,19 @@ def process_subject(
             r["w2c_Tvec"] = res["w2c_Tvec"][i]
             r["c2w_Rmat"] = res["c2w_Rmat"][i]
             r["c2w_Tvec"] = res["c2w_Tvec"][i]
+
+        if qa_dir:
+            from gazenerf_tpu.utils.logging import side_by_side
+
+            os.makedirs(qa_dir, exist_ok=True)
+            qa_imgs, _, _ = fitter.render_fit(res)
+            for i in range(len(rows)):
+                panel = side_by_side(images[i], qa_imgs[i])
+                cv2.imwrite(
+                    os.path.join(qa_dir, "fit_qa_%04d.png" % i),
+                    panel[..., ::-1],
+                )
+            logger.info("fit QA renders -> %s", qa_dir)
 
     for r in rows:
         writer.append(r)

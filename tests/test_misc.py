@@ -149,3 +149,61 @@ def test_viewer_server_end_to_end():
     base = base_camera(cfg.model.featmap_size)
     np.testing.assert_allclose(R, base["Rmats"], atol=1e-6)
     np.testing.assert_allclose(T, base["Tvecs"], atol=1e-6)
+
+
+def test_render_fit_qa():
+    """render_fit re-renders a finished NL-3DMM fit for visual QA (the
+    reference's gen_nl3dmm_render_res.py loop)."""
+    import numpy as np
+
+    from gazenerf_tpu.nl3dmm.face_model import random_basis
+    from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
+    from gazenerf_tpu.nl3dmm.rasterizer import RasterSettings
+
+    fitter = NL3DMMFitter(
+        random_basis(), FitConfig(image_size=32, stage1_steps=2, stage2_steps=2),
+        RasterSettings(image_size=32),
+    )
+    rng = np.random.default_rng(0)
+    B = 2
+    imgs = rng.random((B, 32, 32, 3)).astype(np.float32)
+    lms = rng.random((B, 68, 2)).astype(np.float32) * 32
+    base_R = np.tile(np.diag([1.0, -1.0, -1.0]).astype(np.float32), (B, 1, 1))
+    base_T = np.tile(np.array([0, 0, 12.0], np.float32), (B, 1))
+    K = np.tile(np.array([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]], np.float32), (B, 1, 1))
+    res = fitter.fit(imgs, lms, base_R, base_T, K)
+    qa, alpha, lm2d = fitter.render_fit(res)
+    assert qa.shape == (B, 32, 32, 3)
+    assert np.isfinite(qa).all() and 0.0 <= qa.min() and qa.max() <= 1.0
+    assert lm2d.shape == (B, 68, 2)
+
+
+def test_eval_step_per_region_metrics():
+    """make_eval_step reports per-region losses (reference eval epoch
+    trainer/gazenerf_trainer.py:601-708)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import tempfile
+
+    from gazenerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+    from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+    from gazenerf_tpu.data.synthetic import write_synthetic_subject
+    from gazenerf_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(num_sample_coarse=8, featmap_size=16,
+                          pred_img_size=64, mlp_hidden=32, use_pallas=False),
+        loss=LossConfig(use_vgg_loss=False),
+        train=TrainConfig(batch_size=2),
+    )
+    tr = Trainer(cfg, train_len=4, steps_per_epoch=1)
+    d = tempfile.mkdtemp()
+    write_synthetic_subject(d, num_frames=2, img_size=64)
+    loader = BatchLoader(GazeH5Dataset(d, shuffle=False), batch_size=2)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    metrics, img = tr.eval_step(tr.state, batch)
+    for k in ("mse", "psnr", "head_mse", "face_mse", "eyes_mse", "nonhead_mse"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert img.shape == (2, 64, 64, 3)
