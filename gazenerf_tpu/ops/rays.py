@@ -155,9 +155,13 @@ def sample_fine(
     Correct re-implementation of the reference ``FineSample``
     (utils/model_utils.py:378-490) whose call path is broken upstream.
     ``weights``: ``[B, R, S_c]`` coarse integration weights.
-    Returns a SampleSet with ``S_c + num_fine + 1`` samples (sorted union of
-    coarse zvals and fine zvals, matching reference :477-481 which uses
-    ``num_sample_fine + 1`` fine draws).
+    Draws ``num_fine + 1`` fine z-values (reference ``n_sample =
+    num_sample_fine + 1``, :381), sorts their union with the ``S_c`` coarse
+    zvals into ``S_c + num_fine + 1`` EDGES, and returns a SampleSet with
+    ``S_c + num_fine`` samples — matching the reference, whose
+    ``_calc_sample_points_by_zvals`` consumes the sorted union as edges and
+    drops the last (:393-397).  Oracle-tested against the imported reference
+    ``FineSample`` in tests/test_ops.py.
     """
     B, R, Sc = weights.shape
     n_draw = num_fine + 1  # reference FineSample.n_sample = num_sample_fine + 1

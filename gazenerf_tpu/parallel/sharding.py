@@ -27,6 +27,7 @@ def state_shardings(mesh: Mesh, state: TrainState, shard_offsets: bool = True):
     """Sharding pytree for a TrainState: params replicated, offsets row-sharded."""
     rep = NamedSharding(mesh, P())
     row = NamedSharding(mesh, P("data"))
+    offset_keys = set(state.offsets)
 
     def offset_shard(x):
         if not shard_offsets:
@@ -37,30 +38,35 @@ def state_shardings(mesh: Mesh, state: TrainState, shard_offsets: bool = True):
         return rep
 
     offsets = {k: offset_shard(v) for k, v in state.offsets.items()}
+
+    def opt_shard_with_path(path, x):
+        """Adam moments of the offset tables live under the SAME dict keys
+        inside the optax state tree (the trainable tree is
+        ``{"net": ..., "iden": ..., ...}``), so classify by tree path, not
+        by shape coincidence."""
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return rep
+        for p in path:
+            key = getattr(p, "key", None)
+            if key in offset_keys and tuple(x.shape) == tuple(
+                state.offsets[key].shape
+            ):
+                return offset_shard(x)
+        return rep
+
     like = lambda tree, s: jax.tree_util.tree_map(lambda _: s, tree)  # noqa: E731
     return TrainState(
         step=rep,
         params=like(state.params, rep),
         offsets=offsets,
-        opt_state=jax.tree_util.tree_map(
-            lambda x: (
-                offset_shard(x)
-                if hasattr(x, "ndim") and x.ndim >= 1 and _is_offset_moment(x, state)
-                else rep
-            ),
-            state.opt_state,
+        opt_state=jax.tree_util.tree_map_with_path(
+            opt_shard_with_path, state.opt_state
         ),
         rng=rep,
         disc_params=like(state.disc_params, rep),
         disc_batch_stats=like(state.disc_batch_stats, rep),
         disc_opt_state=like(state.disc_opt_state, rep),
     )
-
-
-def _is_offset_moment(x, state: TrainState) -> bool:
-    """Adam moments of the offset tables share their [train_len, D] shapes."""
-    shapes = {tuple(v.shape) for v in state.offsets.values()}
-    return tuple(x.shape) in shapes
 
 
 def batch_shardings(mesh: Mesh, batch: Dict[str, Any]):
@@ -75,24 +81,29 @@ def shard_state(mesh: Mesh, state: TrainState, shard_offsets: bool = True) -> Tr
     )
 
 
-def make_sharded_train_step(mesh: Mesh, step_fn, state: TrainState, shard_offsets=True):
-    """jit the (already-built) step with explicit in/out shardings.
+def make_sharded_train_step(
+    mesh: Mesh,
+    step_fn,
+    state: TrainState,
+    example_batch,
+    shard_offsets=True,
+):
+    """jit the (already-built) step with EXPLICIT in/out shardings.
 
-    ``step_fn`` must be the *unjitted* step body; we re-jit with shardings.
+    ``step_fn`` must be the *unjitted* step body; ``example_batch`` fixes the
+    batch keys so every input carries a declared layout (state per
+    :func:`state_shardings`, batch rows over ``data``) instead of relying on
+    placement inference.
     """
     st_sh = state_shardings(mesh, state, shard_offsets)
     row = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
+    batch_sh = {k: row for k in example_batch}
 
-    def batch_sh_for(batch):
-        return {k: row for k in batch}
-
-    def wrapped(state, batch):
-        return step_fn(state, batch)
-
-    # in_shardings for batch resolved per-call via device_put; jit infers the
-    # rest from input placements.
-    jitted = jax.jit(wrapped, donate_argnums=(0,), out_shardings=None)
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(st_sh, batch_sh),
+        donate_argnums=(0,),
+    )
 
     def run(state, batch):
         batch = {

@@ -328,3 +328,54 @@ def test_pitchyaw_and_angular():
     v2 = pitchyaw_to_vector(jnp.asarray([[0.0, np.pi / 2]], jnp.float32))
     err2 = angular_error_deg(v[:1], v2)
     np.testing.assert_allclose(np.asarray(err2), [90.0], atol=1e-3)
+
+
+def test_fine_sampling_shape_semantics_vs_reference(rng):
+    """Full-path parity vs the ACTUAL reference FineSample (imported from
+    /root/reference): the sorted union is consumed as EDGES, so the output
+    has S_c + num_fine samples — pts/zvals/z_dists all compared."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from utils.model_utils import FineSample as RefFineSample
+
+    class Opt:
+        num_sample_fine = 5
+
+    B, W, Sc, NF = 1, 4, 8, 5
+    R_, T, Kinv = _random_cams(rng, B)
+    xy = np.asarray(pixel_grid(W))[None]
+    coarse = sample_coarse(
+        jnp.asarray(xy), jnp.asarray(R_), jnp.asarray(T), jnp.asarray(Kinv),
+        num_samples=Sc, world_z1=2.5, world_z2=-3.5, key=None,
+    )
+    weights = rng.random((B, W * W, Sc)).astype(np.float32)
+    fine = sample_fine(jnp.asarray(weights), coarse, num_fine=NF, key=None)
+
+    # reference-format coarse dict: [B,3,R,1] rays, [B,1,R,Nc] zvals
+    R = W * W
+    ray_o = torch.from_numpy(
+        np.asarray(coarse.rays.origins).transpose(0, 2, 1)[..., None]
+    )
+    ray_d = torch.from_numpy(
+        np.asarray(coarse.rays.directions).transpose(0, 2, 1)[..., None]
+    )
+    ray_l = torch.from_numpy(np.asarray(coarse.rays.ray_l))[:, None, :, None]
+    ref_coarse = {
+        "zvals": torch.from_numpy(np.asarray(coarse.zvals))[:, None],
+        "batch_ray_o": ray_o,
+        "batch_ray_d": ray_d,
+        "batch_ray_l": ray_l,
+    }
+    ref = RefFineSample(Opt())(
+        torch.from_numpy(weights)[:, None], ref_coarse, disturb=False
+    )
+    want_pts = ref["pts"].numpy().transpose(0, 2, 3, 1)  # [B,R,S,3]
+    want_z = ref["zvals"].numpy()[:, 0]
+    want_d = ref["z_dists"].numpy()[:, 0]
+
+    assert fine.zvals.shape == (B, R, Sc + NF) == want_z.shape
+    np.testing.assert_allclose(np.asarray(fine.zvals), want_z, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fine.z_dists), want_d, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fine.pts), want_pts, atol=1e-4)

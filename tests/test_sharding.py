@@ -137,3 +137,46 @@ def test_ray_sharded_train_step_matches(synth):
     np.testing.assert_allclose(
         np.asarray(s1.offsets["iden"]), np.asarray(s2.offsets["iden"]), atol=1e-5
     )
+
+
+def test_make_sharded_train_step_explicit_shardings(synth):
+    """make_sharded_train_step declares in_shardings explicitly and its
+    results match the plain step; the opt-state classifier row-shards the
+    offset Adam moments by tree path (not shape coincidence)."""
+    from gazenerf_tpu.train.trainer import make_train_step
+    from gazenerf_tpu.parallel.sharding import (
+        make_sharded_train_step,
+        state_shardings,
+    )
+
+    ds = synth
+    cfg = tiny_config(batch=8)
+    loader = BatchLoader(ds, batch_size=8, num_workers=1)
+    batch = next(iter(loader))
+
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=1)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    s1, losses1 = tr.train_step(tr.state, jb)
+
+    tr2 = Trainer(cfg, train_len=len(ds), steps_per_epoch=1)
+    mesh = make_mesh(data_parallel=8, ray_parallel=1)
+    # verify opt-state sharding classification by path
+    sh = state_shardings(mesh, tr2.state)
+    flat = jax.tree_util.tree_flatten_with_path(sh.opt_state)[0]
+    row_count = sum(
+        1 for path, s in flat if s.spec == P("data")
+    )
+    # 5 offset tables x 2 Adam moments = 10 row-sharded leaves
+    assert row_count == 10, row_count
+
+    step_body = make_train_step(
+        cfg, tr2.model, tr2.optimizer, tr2.frozen, tr2.expr_fix, donate=False
+    )
+    # unjitted body: make_train_step returns a jitted fn; use its wrapped body
+    body = step_body.__wrapped__ if hasattr(step_body, "__wrapped__") else step_body
+    state = shard_state(mesh, tr2.state)
+    run = make_sharded_train_step(mesh, body, tr2.state, batch)
+    s2, losses2 = run(state, batch)
+    np.testing.assert_allclose(
+        float(losses1["total_loss"]), float(losses2["total_loss"]), rtol=1e-4
+    )
