@@ -86,6 +86,11 @@ class ModelConfig:
     # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the
     # pixel-shuffle transposes than 4 small passes) — default off.
     batch_renderer_passes: bool = False
+    # fold each feat_layer into the preceding blur-shuffle per phase
+    # (exact: channel mixing commutes with the per-channel stencil whose
+    # taps sum to 1) — the stencil runs on the folded channel count and the
+    # full-resolution feat matmul disappears.  gm modes only.
+    renderer_fold_feat: bool = True
 
     @property
     def shape_code_dims(self) -> int:

@@ -90,6 +90,7 @@ class GazeNeRF(nn.Module):
             dtype=ren_dtype,
             shuffle_mode=shuffle_mode,
             pallas_interpret=interpret,
+            fold_feat_layer=cfg.renderer_fold_feat,
             name="neural_render",
         )
 

@@ -72,7 +72,14 @@ class PixelShuffleUpsample(nn.Module):
     pallas_interpret: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, fold=None) -> jnp.ndarray:
+        """``fold``: an optional channel-mixing Dense (the renderer's
+        following ``feat_layer``) applied PER PHASE before the stencil.
+        The blur-shuffle is per-channel linear with taps summing to 1, so
+        ``dense(blur(shuffle(z))) == blur(shuffle(per_phase_dense(z)))``
+        exactly (bias included) — the stencil then runs on the folded
+        (usually halved) channel count and the full-resolution matmul
+        disappears.  Only valid for the gm modes."""
         F = self.in_feature
         out = nn.leaky_relu(
             nn.Dense(F * 2, dtype=self.dtype, name="layer_1")(x),
@@ -99,6 +106,14 @@ class PixelShuffleUpsample(nn.Module):
                     P[(4 * c + k) % F, k * F + c] = 1.0
             y_gm = x.astype(self.dtype) @ jnp.asarray(P, self.dtype)
             z_gm = out2 + y_gm
+            if fold is not None:
+                z_gm = jnp.concatenate(
+                    [
+                        fold(z_gm[..., k * F : (k + 1) * F])
+                        for k in range(4)
+                    ],
+                    axis=-1,
+                )
             if self.shuffle_mode == "pallas":
                 from gazenerf_tpu.kernels.shuffle_blur import (
                     pallas_shuffle_blur_gm,
@@ -136,6 +151,9 @@ class NeuralRenderer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     shuffle_mode: str = "phase"
     pallas_interpret: bool = False
+    # fold each feat_layer into the preceding blur-shuffle per phase (exact;
+    # halves the stencil channel count) — gm modes only
+    fold_feat_layer: bool = True
 
     def setup(self):
         import math
@@ -181,8 +199,16 @@ class NeuralRenderer(nn.Module):
             return nn.sigmoid(rgb) if self.final_actvn else rgb
         rgb = upsample2x_blur(self.feat_2_rgb_list[0](x))
         net = x
+        fold_ok = self.fold_feat_layer and self.shuffle_mode in (
+            "phase_gm", "pallas",
+        )
         for idx in range(self.n_blocks):
-            hid = self.feat_layers[idx](self.feat_upsample_list[idx](net))
+            if fold_ok:
+                hid = self.feat_upsample_list[idx](
+                    net, fold=self.feat_layers[idx]
+                )
+            else:
+                hid = self.feat_layers[idx](self.feat_upsample_list[idx](net))
             net = nn.leaky_relu(hid, negative_slope=0.2)
             rgb = rgb + self.feat_2_rgb_list[idx + 1](net)
             if idx < self.n_blocks - 1:

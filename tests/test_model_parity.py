@@ -213,3 +213,28 @@ def test_full_model_gradient_parity(parity_setup, rng):
     rel_l2 = np.linalg.norm(grad_j - grad_ref) / np.linalg.norm(grad_ref)
     assert rel_l2 < 2e-3, f"gradient relative L2 error {rel_l2}"
     np.testing.assert_allclose(grad_j, grad_ref, atol=0.05, rtol=2e-3)
+
+
+def test_fold_feat_layer_exact():
+    """Folding feat_layer per-phase before the blur-shuffle (stencil taps
+    sum to 1, channel mixing commutes with per-channel taps) is exact in
+    forward AND gradient, with an identical parameter tree."""
+    from gazenerf_tpu.models.neural_renderer import NeuralRenderer
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 16, 16, 66)).astype(np.float32))
+    kw = dict(feat_nc=66, featmap_size=16, img_size=128, min_feat=8,
+              shuffle_mode="phase_gm")
+    m1 = NeuralRenderer(fold_feat_layer=False, **kw)
+    m2 = NeuralRenderer(fold_feat_layer=True, **kw)
+    p1 = m1.init({"params": jax.random.PRNGKey(0)}, x)
+    p2 = m2.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    o1, o2 = m1.apply(p1, x), m2.apply(p1, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, x) ** 2))(p1)
+    g2 = jax.grad(lambda p: jnp.sum(m2.apply(p, x) ** 2))(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
