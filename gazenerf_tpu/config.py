@@ -91,6 +91,10 @@ class ModelConfig:
     # taps sum to 1) — the stencil runs on the folded channel count and the
     # full-resolution feat matmul disappears.  gm modes only.
     renderer_fold_feat: bool = True
+    # fused field backward: run the data-gradient matmuls in bf16.
+    # Measured EQUAL to f32 on v5e (117.0 vs 116.9 ms/step: the bwd kernel
+    # is latency-bound at TR=8, not MXU-bound) — default f32 for precision.
+    pallas_bwd_dx_bf16: bool = False
 
     @property
     def shape_code_dims(self) -> int:

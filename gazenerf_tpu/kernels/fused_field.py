@@ -52,6 +52,7 @@ class FieldDims(NamedTuple):
     tile_rays: int  # rays per grid step (forward)
     interpret: bool = False
     bwd_tile_rays: int = 8  # smaller tiles: backward stashes activations
+    bwd_dx_bf16: bool = False  # bf16 data-grad matmuls (measured: no win)
     use_pallas_bwd: bool = True
 
 

@@ -138,16 +138,20 @@ def _bwd_kernel(dims: FieldDims):
         dzdists_ref[0] = ddists
 
         # ---------- head backward ----------
+        # data-gradient matmuls run in bf16 (dims.bwd_dx_bf16): f32 dots
+        # cost ~4x on the MXU and the relu masks are already bf16-derived
+        gdt = bf if dims.bwd_dx_bf16 else f32
+
+        def dgrad(g, w):  # g @ w^T at the data-grad dtype, f32 accumulate
+            return dense_t(g.astype(gdt), w.astype(gdt))
+
         dpre_dens = jnp.where(dens_pre > 0.0, 1.0, 0.0) * dsigma.reshape(N, 1)
         dfeat = dfeat3.reshape(N, C)
 
-        dy1 = dense_t(dfeat, Wr2_ref[...].astype(f32))  # [N, H2]
+        dy1 = dgrad(dfeat, Wr2_ref[...])  # [N, H2]
         dy1 = jnp.where(y1.astype(f32) > 0.0, dy1, 0.0)
-        dy0 = dense_t(dy1, Wr1x_ref[...].astype(f32))  # [N, H]
-        dx = (
-            dense_t(dpre_dens, Wd_ref[...].astype(f32))
-            + dense_t(dy0, Wr0_ref[...].astype(f32))
-        )
+        dy0 = dgrad(dy1, Wr1x_ref[...])  # [N, H]
+        dx = dgrad(dpre_dens, Wd_ref[...]) + dgrad(dy0, Wr0_ref[...])
 
         # head weight grads
         def acc(ref, val, first=is_first):
@@ -178,10 +182,8 @@ def _bwd_kernel(dims: FieldDims):
                 acc(dW5e_ref, outer(embed, dpre.astype(bf)))
                 acc(dW5x_ref, outer(acts[4], dpre.astype(bf)))
                 acc(dcb5_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
-                dembed_acc = dembed_acc + dense_t(
-                    dpre, W5e_ref[...].astype(f32)
-                )
-                dx = dense_t(dpre, W5x_ref[...].astype(f32))
+                dembed_acc = dembed_acc + dgrad(dpre, W5e_ref[...])
+                dx = dgrad(dpre, W5x_ref[...])
             else:
                 acc_slot = mid
                 acc(
@@ -189,12 +191,12 @@ def _bwd_kernel(dims: FieldDims):
                     outer(acts[i - 1], dpre.astype(bf)),
                 )
                 acc(dbmid_ref.at[acc_slot], jnp.sum(dpre, axis=0))
-                dx = dense_t(dpre, Wmid_ref[acc_slot].astype(f32))
+                dx = dgrad(dpre, Wmid_ref[acc_slot])
                 mid -= 1
         dpre = jnp.where(acts[0].astype(f32) > 0.0, dx, 0.0)
         acc(dW0e_ref, outer(embed, dpre.astype(bf)))
         acc(dcb0_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
-        dembed_acc = dembed_acc + dense_t(dpre, W0e_ref[...].astype(f32))
+        dembed_acc = dembed_acc + dgrad(dpre, W0e_ref[...])
 
         dembed_ref[0] = dembed_acc.reshape(TR, S, De)
 

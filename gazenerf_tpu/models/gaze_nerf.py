@@ -79,6 +79,12 @@ class GazeNeRF(nn.Module):
                 interpret = True
             else:
                 shuffle_mode = "phase"  # XLA fallback off-TPU
+        if shuffle_mode == "fused" and jax.default_backend() != "tpu":
+            if cfg.pallas_interpret:
+                interpret = True
+            else:
+                # phase_gm + fold computes the identical function in XLA
+                shuffle_mode = "phase_gm"
         self.neural_render = NeuralRenderer(
             bg_type=cfg.bg_type,
             feat_nc=cfg.featmap_nc,
@@ -120,7 +126,8 @@ class GazeNeRF(nn.Module):
         while R % btr:
             btr //= 2
         dims = default_dims(cfg, interpret=interpret)._replace(
-            samples=S, tile_rays=tr, bwd_tile_rays=btr
+            samples=S, tile_rays=tr, bwd_tile_rays=btr,
+            bwd_dx_bf16=cfg.pallas_bwd_dx_bf16,
         )
         return dims if R % dims.tile_rays == 0 else None
 

@@ -51,6 +51,27 @@ class PermutedDense(nn.Module):
         )
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree (kernel/bias) and inits —
+    used by the fused-kernel path, which consumes raw weights."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return k, b
+
+
 class PixelShuffleUpsample(nn.Module):
     """x2 spatial upsample: 1x1 convs + channel-tile residual + shuffle + blur.
 
@@ -81,6 +102,31 @@ class PixelShuffleUpsample(nn.Module):
         (usually halved) channel count and the full-resolution matmul
         disappears.  Only valid for the gm modes."""
         F = self.in_feature
+        if self.shuffle_mode == "fused":
+            # one Pallas kernel: conv1 + lrelu + conv2(gm) + lrelu +
+            # channel-tile residual + folded feat_layer + blur-shuffle
+            # (kernels/fused_upsampler.py); param tree identical to the
+            # unfused path
+            from gazenerf_tpu.kernels.fused_upsampler import (
+                fused_upsample_block,
+                residual_matrix,
+            )
+
+            assert fold is not None, "fused mode requires the folded feat_layer"
+            k1, b1 = _DenseParams(x.shape[-1], F * 2, name="layer_1")()
+            k2, b2 = _DenseParams(F * 2, F * 4, name="layer_2")()
+            perm = np.empty(4 * F, np.int64)
+            for c in range(F):
+                for k in range(4):
+                    perm[k * F + c] = c * 4 + k
+            k3, b3 = fold
+            return fused_upsample_block(
+                x.astype(self.dtype),
+                k1, b1, k2[:, perm], b2[perm],
+                jnp.asarray(residual_matrix(F)), k3, b3,
+                self.pallas_interpret,
+                self.dtype == jnp.bfloat16,
+            )
         out = nn.leaky_relu(
             nn.Dense(F * 2, dtype=self.dtype, name="layer_1")(x),
             negative_slope=0.2,
@@ -171,10 +217,16 @@ class NeuralRenderer(nn.Module):
             )
             for i in range(self.n_blocks)
         ]
-        self.feat_layers = [
-            nn.Dense(widths[i + 1], dtype=self.dtype, name=f"feat_layer_{i}")
-            for i in range(self.n_blocks)
-        ]
+        if self.shuffle_mode == "fused":
+            self.feat_layers = [
+                _DenseParams(widths[i], widths[i + 1], name=f"feat_layer_{i}")
+                for i in range(self.n_blocks)
+            ]
+        else:
+            self.feat_layers = [
+                nn.Dense(widths[i + 1], dtype=self.dtype, name=f"feat_layer_{i}")
+                for i in range(self.n_blocks)
+            ]
         self.feat_2_rgb_list = [
             nn.Dense(self.out_dim, dtype=self.dtype, name=f"feat_2_rgb_{i}")
             for i in range(self.n_blocks + 1)
@@ -203,7 +255,11 @@ class NeuralRenderer(nn.Module):
             "phase_gm", "pallas",
         )
         for idx in range(self.n_blocks):
-            if fold_ok:
+            if self.shuffle_mode == "fused":
+                hid = self.feat_upsample_list[idx](
+                    net, fold=self.feat_layers[idx]()
+                )
+            elif fold_ok:
                 hid = self.feat_upsample_list[idx](
                     net, fold=self.feat_layers[idx]
                 )

@@ -212,3 +212,70 @@ def test_renderer_pallas_shuffle_mode_matches_phase(rng):
     gp = jax.grad(lambda v: float(0) + jnp.sum(m_p.apply(params, v) ** 2))(x)
     gk = jax.grad(lambda v: jnp.sum(m_k.apply(params, v) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gp), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused upsampler block (kernels/fused_upsampler.py)
+
+
+def _upsampler_args(rng, B, H, W, F, F3):
+    from gazenerf_tpu.kernels.fused_upsampler import residual_matrix
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, F)).astype(np.float32))
+    W1 = jnp.asarray(rng.standard_normal((F, 2 * F)).astype(np.float32) * 0.2)
+    b1 = jnp.asarray(rng.standard_normal((2 * F,)).astype(np.float32) * 0.1)
+    W2 = jnp.asarray(rng.standard_normal((2 * F, 4 * F)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal((4 * F,)).astype(np.float32) * 0.1)
+    P = jnp.asarray(residual_matrix(F))
+    W3 = jnp.asarray(rng.standard_normal((F, F3)).astype(np.float32) * 0.3)
+    b3 = jnp.asarray(rng.standard_normal((F3,)).astype(np.float32) * 0.1)
+    return (x, W1, b1, W2, b2, P, W3, b3)
+
+
+@pytest.mark.parametrize("shape", [(1, 8, 8, 12, 6), (2, 16, 8, 8, 4), (1, 4, 4, 8, 4)])
+def test_fused_upsampler_exact_f32(shape):
+    """Interpret-mode f32 kernel == XLA reference bitwise (fwd + all grads),
+    across single- and multi-tile grids (edge-fold coverage)."""
+    from gazenerf_tpu.kernels.fused_upsampler import (
+        fused_upsample_block,
+        xla_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    args = _upsampler_args(rng, *shape)
+    ref = xla_reference(*args)
+    got = fused_upsample_block(*args, True, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(xla_reference(*a))), argnums=(0, 1, 2, 3, 4, 6, 7)
+    )(*args)
+    g_got = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(fused_upsample_block(*a, True, False))),
+        argnums=(0, 1, 2, 3, 4, 6, 7),
+    )(*args)
+    for i, (a, b) in enumerate(zip(g_got, g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_fused_renderer_mode_matches_phase_gm():
+    """NeuralRenderer shuffle_mode='fused' (interpret) == phase_gm+fold with
+    an identical parameter tree."""
+    from gazenerf_tpu.models.neural_renderer import NeuralRenderer
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 16, 16, 66)).astype(np.float32))
+    kw = dict(feat_nc=66, featmap_size=16, img_size=128, min_feat=8)
+    m1 = NeuralRenderer(shuffle_mode="phase_gm", fold_feat_layer=True, **kw)
+    m2 = NeuralRenderer(shuffle_mode="fused", pallas_interpret=True, **kw)
+    p1 = m1.init({"params": jax.random.PRNGKey(0)}, x)
+    p2 = m2.init({"params": jax.random.PRNGKey(0)}, x)
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    o1, o2 = m1.apply(p1, x), m2.apply(p1, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(m1.apply(p, x))))(p1)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(m2.apply(p, x))))(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
