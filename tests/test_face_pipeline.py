@@ -209,3 +209,108 @@ def test_mobilefacenet_parity():
     )
     e_j = MobileFaceNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(e_j), e_t, atol=2e-4, rtol=1e-3)
+
+
+def test_gaze_vgg_transplant_parity():
+    """gaze_vgg_from_torch: random weights in the reference gaze_network
+    layout (gaze_estimation/xgaze_baseline_vgg.py:6-45) flow to GazeVGG and
+    the (gaze, head) outputs match a torch mirror."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from gazenerf_tpu.models.vgg import GazeVGG, gaze_vgg_from_torch
+
+    VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in VGG_CFG:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers += [tnn.Conv2d(cin, v, 3, padding=1), tnn.ReLU()]
+            cin = v
+    feats = tnn.Sequential(*layers)
+    fc1, fc2, fc3 = tnn.Linear(512, 64), tnn.Linear(64, 64), tnn.Linear(64, 4)
+    g = torch.Generator().manual_seed(31)
+    with torch.no_grad():
+        for p in list(feats.parameters()) + list(fc1.parameters()) + list(
+            fc2.parameters()
+        ) + list(fc3.parameters()):
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+
+    sd = {f"vgg16.{k}": v for k, v in feats.state_dict().items()}
+    for name, mod in (("FC1", fc1), ("FC2", fc2), ("FC3", fc3)):
+        sd[f"{name}.weight"] = mod.weight.detach()
+        sd[f"{name}.bias"] = mod.bias.detach()
+    params = gaze_vgg_from_torch({k: np.asarray(v) for k, v in sd.items()})
+
+    rng = np.random.default_rng(32)
+    imgs = rng.random((2, 64, 64, 3), np.float32)
+    gaze, head = GazeVGG().apply({"params": params}, jnp.asarray(imgs))
+
+    with torch.no_grad():
+        h = feats(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+        h = h.mean(-1).mean(-1)
+        h = tF.leaky_relu(fc1(h), 0.2)
+        h = tF.leaky_relu(fc2(h), 0.2)
+        h = np.pi * 0.5 * torch.tanh(fc3(h))
+    np.testing.assert_allclose(np.asarray(gaze), h[:, :2].numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(head), h[:, 2:].numpy(), atol=1e-4)
+
+
+def test_gaze_resnet_transplant_parity():
+    """gaze_resnet_from_torch vs the reference's ACTUAL vendored ResNet50
+    gaze estimator (gaze_estimation/xgaze_baseline_resnet.py, resnet.py),
+    imported with the weight download stubbed out."""
+    import sys
+
+    import torch
+    import torch.utils.model_zoo as modelzoo
+
+    modelzoo.load_url = lambda *a, **k: {}
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import gaze_estimation.resnet as ref_resnet
+
+    ref_resnet.load_state_dict_from_url = lambda *a, **k: {}
+    # the vendored resnet loads pretrained weights via load_state_dict(strict)
+    orig_load = torch.nn.Module.load_state_dict
+    torch.nn.Module.load_state_dict = lambda self, sd, *a, **k: None
+    try:
+        from gaze_estimation.xgaze_baseline_resnet import gaze_network
+        tnet = gaze_network()
+    finally:
+        torch.nn.Module.load_state_dict = orig_load
+
+    g = torch.Generator().manual_seed(33)
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) * 0.05)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=g) * 0.1
+                )
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=g) + 0.5
+                )
+            elif isinstance(m, torch.nn.Linear):
+                m.weight.copy_(torch.randn(m.weight.shape, generator=g) * 0.05)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
+    tnet.eval()
+
+    from gazenerf_tpu.models.resnet import GazeResNet, gaze_resnet_from_torch
+
+    variables = gaze_resnet_from_torch(
+        {k: v.numpy() for k, v in tnet.state_dict().items()}
+    )
+    rng = np.random.default_rng(34)
+    imgs = rng.random((1, 64, 64, 3), np.float32)
+    gaze, head = GazeResNet().apply(variables, jnp.asarray(imgs))
+    with torch.no_grad():
+        wg, wh = tnet(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(gaze), wg.numpy(), atol=2e-3, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(head), wh.numpy(), atol=2e-3, rtol=2e-2)
