@@ -95,6 +95,17 @@ class ModelConfig:
     # Measured EQUAL to f32 on v5e (117.0 vs 116.9 ms/step: the bwd kernel
     # is latency-bound at TR=8, not MXU-bound) — default f32 for precision.
     pallas_bwd_dx_bf16: bool = False
+    # trunk matmuls emit bf16 directly from the MXU — REJECTED by current
+    # Mosaic ("Expected matmul acc to be 32-bit"); kept off until the
+    # lowering supports it
+    pallas_trunk_bf16: bool = False
+    # rgb skip chain channel-first ([B,3,H,W]): NHWC C=3 lane-pads 3->128,
+    # so the blur/upsample chain on the rgb accumulator otherwise touches
+    # ~42x the real bytes.  Exact.
+    renderer_rgb_cf: bool = True
+    # field fwd kernel: evaluate two independent half-tiles with
+    # layer-interleaved program order (MXU/VPU overlap probe)
+    pallas_split2: bool = False
 
     @property
     def shape_code_dims(self) -> int:

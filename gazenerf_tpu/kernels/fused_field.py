@@ -53,6 +53,11 @@ class FieldDims(NamedTuple):
     interpret: bool = False
     bwd_tile_rays: int = 8  # smaller tiles: backward stashes activations
     bwd_dx_bf16: bool = False  # bf16 data-grad matmuls (measured: no win)
+    trunk_bf16_out: bool = False  # bf16 matmul outputs: current Mosaic
+    # rejects non-32-bit matmul accumulators; keep off on TPU
+    split2: bool = False  # evaluate the tile as two independent half-tiles
+    # with layer-interleaved program order, exposing MXU/VPU overlap to the
+    # Mosaic scheduler (the 8-layer chain is otherwise fully serial)
     use_pallas_bwd: bool = True
 
 
@@ -108,38 +113,63 @@ def _field_kernel(dims: FieldDims):
         bf = jnp.bfloat16
 
         bidx = pl.program_id(0)
-        embed = embed_ref[0].reshape(N, De).astype(bf)
+        embed_full = embed_ref[0].reshape(N, De).astype(bf)
+        # trunk layers: emit bf16 straight from the MXU (accumulation is f32
+        # internally either way) so no separate f32->bf16 cast pass runs on
+        # the [N, H] activations between matmuls
+        tdt = bf if dims.trunk_bf16_out else f32
 
         def dense(x, w, prefer=f32):
             return jax.lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=prefer
             )
 
-        # layer 0 with per-batch conditioning bias row (b0 already folded in)
-        x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
-        x = jnp.maximum(x, 0.0).astype(bf)
+        # two independent half-tile chains expose MXU/VPU overlap (split2)
+        if dims.split2 and N % 2 == 0:
+            chunks = [embed_full[: N // 2], embed_full[N // 2 :]]
+        else:
+            chunks = [embed_full]
 
+        # unrolled layer loop over the chunk list: chunk 2's layer i sits
+        # between chunk 1's layers i and i+1 in program order
+        def layer0(e):
+            x = dense(e, W0e_ref[...].astype(bf), tdt) + cb0_ref[bidx][None, :].astype(tdt)
+            return jnp.maximum(x, 0.0).astype(bf)
+
+        xs = [layer0(e) for e in chunks]
         mid = 0
         for i in range(1, 8):
             if i == 5:
-                x = (
-                    dense(embed, W5e_ref[...].astype(bf))
-                    + dense(x, W5x_ref[...].astype(bf))
-                    + cb5_ref[bidx][None, :]
-                )
+                ys = [
+                    dense(e, W5e_ref[...].astype(bf), tdt)
+                    + dense(x, W5x_ref[...].astype(bf), tdt)
+                    + cb5_ref[bidx][None, :].astype(tdt)
+                    for e, x in zip(chunks, xs)
+                ]
             else:
-                x = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
+                ys = [
+                    dense(x, Wmid_ref[mid].astype(bf), tdt)
+                    + bmid_ref[mid][None, :].astype(tdt)
+                    for x in xs
+                ]
                 mid += 1
-            x = jnp.maximum(x, 0.0).astype(bf)
+            xs = [jnp.maximum(y, 0.0).astype(bf) for y in ys]
 
-        density = jnp.maximum(
-            dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0
-        )  # [N, 1] f32
-
-        y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
-        y = (dense(y.astype(bf), Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :])
-        y = jnp.maximum(y, 0.0).astype(bf)
-        feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]  # [N, C] f32
+        dens_parts, feat_parts = [], []
+        for x in xs:
+            dens_parts.append(
+                jnp.maximum(dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0)
+            )
+            y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+            y = dense(y.astype(bf), Wr1x_ref[...].astype(bf), tdt) + cbr1_ref[bidx][None, :].astype(tdt)
+            y = jnp.maximum(y, 0.0).astype(bf)
+            feat_parts.append(dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :])
+        density = (
+            jnp.concatenate(dens_parts, axis=0) if len(dens_parts) > 1 else dens_parts[0]
+        )
+        feat = (
+            jnp.concatenate(feat_parts, axis=0) if len(feat_parts) > 1 else feat_parts[0]
+        )
 
         # ---- volume integration in VMEM ----
         sigma = density.reshape(TR, S)

@@ -75,20 +75,28 @@ def _bwd_kernel(dims: FieldDims):
 
         # ---------- forward recompute (stash activations) ----------
         embed = embed_ref[0].reshape(N, De).astype(bf)
+        # trunk recompute emits bf16 straight from the MXU (see fused_field)
+        tdt = bf if dims.trunk_bf16_out else f32
+
+        def tdense(x, w):
+            return jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())), preferred_element_type=tdt
+            )
+
         acts = []
-        x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
+        x = tdense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :].astype(tdt)
         x = jnp.maximum(x, 0.0).astype(bf)
         acts.append(x)  # x0
         mid = 0
         for i in range(1, 8):
             if i == 5:
                 x = (
-                    dense(embed, W5e_ref[...].astype(bf))
-                    + dense(x, W5x_ref[...].astype(bf))
-                    + cb5_ref[bidx][None, :]
+                    tdense(embed, W5e_ref[...].astype(bf))
+                    + tdense(x, W5x_ref[...].astype(bf))
+                    + cb5_ref[bidx][None, :].astype(tdt)
                 )
             else:
-                x = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
+                x = tdense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :].astype(tdt)
                 mid += 1
             x = jnp.maximum(x, 0.0).astype(bf)
             acts.append(x)

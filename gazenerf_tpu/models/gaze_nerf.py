@@ -97,6 +97,7 @@ class GazeNeRF(nn.Module):
             shuffle_mode=shuffle_mode,
             pallas_interpret=interpret,
             fold_feat_layer=cfg.renderer_fold_feat,
+            rgb_channel_first=cfg.renderer_rgb_cf,
             name="neural_render",
         )
 
@@ -128,6 +129,8 @@ class GazeNeRF(nn.Module):
         dims = default_dims(cfg, interpret=interpret)._replace(
             samples=S, tile_rays=tr, bwd_tile_rays=btr,
             bwd_dx_bf16=cfg.pallas_bwd_dx_bf16,
+            trunk_bf16_out=cfg.pallas_trunk_bf16,
+            split2=cfg.pallas_split2,
         )
         return dims if R % dims.tile_rays == 0 else None
 

@@ -200,6 +200,10 @@ class NeuralRenderer(nn.Module):
     # fold each feat_layer into the preceding blur-shuffle per phase (exact;
     # halves the stencil channel count) — gm modes only
     fold_feat_layer: bool = True
+    # run the rgb skip chain channel-first ([B,3,H,W], W on TPU lanes):
+    # NHWC C=3 tensors lane-pad 3 -> 128, so every blur/upsample on the rgb
+    # accumulator otherwise touches 42x the real bytes.  Exact.
+    rgb_channel_first: bool = True
 
     def setup(self):
         import math
@@ -227,10 +231,16 @@ class NeuralRenderer(nn.Module):
                 nn.Dense(widths[i + 1], dtype=self.dtype, name=f"feat_layer_{i}")
                 for i in range(self.n_blocks)
             ]
-        self.feat_2_rgb_list = [
-            nn.Dense(self.out_dim, dtype=self.dtype, name=f"feat_2_rgb_{i}")
-            for i in range(self.n_blocks + 1)
-        ]
+        if self.rgb_channel_first:
+            self.feat_2_rgb_list = [
+                _DenseParams(widths[i], self.out_dim, name=f"feat_2_rgb_{i}")
+                for i in range(self.n_blocks + 1)
+            ]
+        else:
+            self.feat_2_rgb_list = [
+                nn.Dense(self.out_dim, dtype=self.dtype, name=f"feat_2_rgb_{i}")
+                for i in range(self.n_blocks + 1)
+            ]
         init = nn.initializers.ones if self.bg_type == "white" else nn.initializers.zeros
         self.bg_featmap = self.param(
             "bg_featmap",
@@ -243,13 +253,38 @@ class NeuralRenderer(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """``[B, h, w, feat_nc]`` feature map -> ``[B, H, W, 3]`` RGB."""
+        cf = self.rgb_channel_first
+
+        def rgb_head(idx, t):
+            if not cf:
+                return self.feat_2_rgb_list[idx](t)
+            # channel-first head: einsum straight into [B, 3, H, W] — the
+            # 3-channel accumulator keeps W on lanes (no 3->128 pad)
+            k, b = self.feat_2_rgb_list[idx]()
+            return (
+                jnp.einsum(
+                    "bhwf,fc->bchw", t.astype(self.dtype), k.astype(self.dtype)
+                )
+                + b.astype(self.dtype)[None, :, None, None]
+            )
+
+        up = (
+            __import__(
+                "gazenerf_tpu.ops.image", fromlist=["upsample2x_blur_cf"]
+            ).upsample2x_blur_cf
+            if cf
+            else upsample2x_blur
+        )
+
         if self.n_blocks == 0:
             # degenerate img_size == featmap_size config: plain 1x1 RGB head
             # (the reference's initial rgb_upsample would break here —
             # models/neural_renderer.py:99 — so this config is ours only)
-            rgb = self.feat_2_rgb_list[0](x)
+            rgb = rgb_head(0, x)
+            if cf:
+                rgb = jnp.transpose(rgb, (0, 2, 3, 1))
             return nn.sigmoid(rgb) if self.final_actvn else rgb
-        rgb = upsample2x_blur(self.feat_2_rgb_list[0](x))
+        rgb = up(rgb_head(0, x))
         net = x
         fold_ok = self.fold_feat_layer and self.shuffle_mode in (
             "phase_gm", "pallas",
@@ -266,9 +301,11 @@ class NeuralRenderer(nn.Module):
             else:
                 hid = self.feat_layers[idx](self.feat_upsample_list[idx](net))
             net = nn.leaky_relu(hid, negative_slope=0.2)
-            rgb = rgb + self.feat_2_rgb_list[idx + 1](net)
+            rgb = rgb + rgb_head(idx + 1, net)
             if idx < self.n_blocks - 1:
-                rgb = upsample2x_blur(rgb)
+                rgb = up(rgb)
+        if cf:
+            rgb = jnp.transpose(rgb, (0, 2, 3, 1))
         if self.final_actvn:
             rgb = nn.sigmoid(rgb)
         return rgb

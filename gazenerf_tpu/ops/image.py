@@ -201,3 +201,48 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
     top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
     bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
     return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# channel-first rgb ops: [B, 3, H, W] keeps W on the TPU lane dimension, so
+# 3-channel tensors are not padded 3 -> 128 lanes the way NHWC C=3 is
+
+
+def _up2_axis_cf(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (half-pixel centers, edge clamp) along one
+    axis: out[2i] = 0.25 prev + 0.75 cur; out[2i+1] = 0.75 cur + 0.25 next —
+    equals ``jax.image.resize(..., "bilinear")`` for an exact 2x factor."""
+    n = x.shape[axis]
+
+    def shift(off):
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+    a = 0.25 * shift(-1) + 0.75 * x
+    b = 0.75 * x + 0.25 * shift(1)
+    out = jnp.stack([a, b], axis=axis + 1)
+    new_shape = x.shape[:axis] + (2 * n,) + x.shape[axis + 1 :]
+    return out.reshape(new_shape)
+
+
+def blur3x3_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """blur3x3 twin for ``[B, C, H, W]`` (reflect pad, shifted FMAs)."""
+    f = np.array([1.0, 2.0, 1.0]) / 4.0
+    kb = np.outer(f, f)
+    B, C, H, W = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+    acc = None
+    for a in range(3):
+        for b in range(3):
+            t = kb[a, b] * jax.lax.slice(
+                xp, (0, 0, a, b), (B, C, a + H, b + W)
+            )
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def upsample2x_blur_cf(x: jnp.ndarray) -> jnp.ndarray:
+    """``upsample2x_blur`` twin for channel-first ``[B, C, H, W]``."""
+    x = _up2_axis_cf(x, 2)
+    x = _up2_axis_cf(x, 3)
+    return blur3x3_cf(x)
