@@ -36,7 +36,16 @@ def main():
 
     B = 2
     cfg = Config(
-        model=ModelConfig(compute_dtype="bfloat16", renderer_dtype="bfloat16", remat_fields=False),
+        model=ModelConfig(
+            compute_dtype="bfloat16",
+            renderer_dtype="bfloat16",
+            remat_fields=False,
+            # round-3 tuned kernel knobs (PERF_NOTES): stash-acts backward
+            # at TR=16 under a raised Mosaic VMEM cap
+            pallas_stash_acts=True,
+            pallas_bwd_tile_rays=16,
+            pallas_vmem_mb=100,
+        ),
         loss=LossConfig(use_vgg_loss=False),
         train=TrainConfig(batch_size=B),
     )

@@ -91,21 +91,23 @@ class ModelConfig:
     # taps sum to 1) — the stencil runs on the folded channel count and the
     # full-resolution feat matmul disappears.  gm modes only.
     renderer_fold_feat: bool = True
-    # fused field backward: run the data-gradient matmuls in bf16.
-    # Measured EQUAL to f32 on v5e (117.0 vs 116.9 ms/step: the bwd kernel
-    # is latency-bound at TR=8, not MXU-bound) — default f32 for precision.
-    pallas_bwd_dx_bf16: bool = False
-    # trunk matmuls emit bf16 directly from the MXU — REJECTED by current
-    # Mosaic ("Expected matmul acc to be 32-bit"); kept off until the
-    # lowering supports it
-    pallas_trunk_bf16: bool = False
     # rgb skip chain channel-first ([B,3,H,W]): NHWC C=3 lane-pads 3->128,
     # so the blur/upsample chain on the rgb accumulator otherwise touches
     # ~42x the real bytes.  Exact.
     renderer_rgb_cf: bool = True
-    # field fwd kernel: evaluate two independent half-tiles with
-    # layer-interleaved program order (MXU/VPU overlap probe)
-    pallas_split2: bool = False
+    # (pruned probes, PERF_NOTES rounds 2-3: bwd data-grad bf16 EQUAL at
+    # TR=8 and TR=32; trunk bf16-out rejected by Mosaic; split2 flat)
+    # raise Mosaic's scoped-VMEM cap for the fused field kernels (MB).
+    # The default cap (~16MB) is far below v5e's physical 128MB VMEM and
+    # is what blocked bwd_tile_rays>8 ("25.58M scoped vs 16M", PERF_NOTES
+    # round 2).  0 = compiler default.
+    pallas_vmem_mb: int = 0
+    # field fwd kernel stashes its trunk/head activations (bf16) in HBM and
+    # the bwd kernel reads them instead of recomputing the forward in-tile:
+    # trades ~3.8 GB/branch of pipelined HBM traffic for 1/3 of the
+    # backward's MXU FLOPs (the bwd kernels are the step's dominant cost —
+    # 62 of 112 ms in the round-3 trace)
+    pallas_stash_acts: bool = False
 
     @property
     def shape_code_dims(self) -> int:

@@ -51,14 +51,15 @@ class FieldDims(NamedTuple):
     samples: int  # samples per ray (64)
     tile_rays: int  # rays per grid step (forward)
     interpret: bool = False
-    bwd_tile_rays: int = 8  # smaller tiles: backward stashes activations
-    bwd_dx_bf16: bool = False  # bf16 data-grad matmuls (measured: no win)
-    trunk_bf16_out: bool = False  # bf16 matmul outputs: current Mosaic
-    # rejects non-32-bit matmul accumulators; keep off on TPU
-    split2: bool = False  # evaluate the tile as two independent half-tiles
-    # with layer-interleaved program order, exposing MXU/VPU overlap to the
-    # Mosaic scheduler (the 8-layer chain is otherwise fully serial)
+    bwd_tile_rays: int = 8  # backward ray-tile (16 + stash_acts is the
+    # measured sweet spot on v5e; see PERF_NOTES round 3)
     use_pallas_bwd: bool = True
+    vmem_limit_mb: int = 0  # raise Mosaic's scoped-VMEM cap (default ~16MB;
+    # v5e physically has 128MB — larger tiles need a larger cap)
+    stash_acts: bool = False  # forward kernel writes its trunk/head
+    # activations (bf16) to HBM; the backward reads them instead of
+    # recomputing the forward in-tile — trades ~3.8 GB/branch of (pipelined)
+    # HBM traffic for 1/3 of the backward's MXU FLOPs
 
 
 def _split_params(params: Dict, dims: FieldDims):
@@ -108,68 +109,49 @@ def _field_kernel(dims: FieldDims):
         W0e_ref, Wmid_ref, bmid_ref, W5e_ref, W5x_ref,
         Wd_ref, bd_ref, Wr0_ref, br0_ref, Wr1x_ref, Wr2_ref, br2_ref,
         feat_out_ref, bga_out_ref, depth_out_ref, w_out_ref,
+        *stash_refs,  # when dims.stash_acts: acts0..7, y0b, y1
     ):
         f32 = jnp.float32
         bf = jnp.bfloat16
 
         bidx = pl.program_id(0)
-        embed_full = embed_ref[0].reshape(N, De).astype(bf)
-        # trunk layers: emit bf16 straight from the MXU (accumulation is f32
-        # internally either way) so no separate f32->bf16 cast pass runs on
-        # the [N, H] activations between matmuls
-        tdt = bf if dims.trunk_bf16_out else f32
+        embed = embed_ref[0].reshape(N, De).astype(bf)
 
         def dense(x, w, prefer=f32):
             return jax.lax.dot_general(
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=prefer
             )
 
-        # two independent half-tile chains expose MXU/VPU overlap (split2)
-        if dims.split2 and N % 2 == 0:
-            chunks = [embed_full[: N // 2], embed_full[N // 2 :]]
-        else:
-            chunks = [embed_full]
-
-        # unrolled layer loop over the chunk list: chunk 2's layer i sits
-        # between chunk 1's layers i and i+1 in program order
-        def layer0(e):
-            x = dense(e, W0e_ref[...].astype(bf), tdt) + cb0_ref[bidx][None, :].astype(tdt)
-            return jnp.maximum(x, 0.0).astype(bf)
-
-        xs = [layer0(e) for e in chunks]
+        x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
+        x = jnp.maximum(x, 0.0).astype(bf)
+        if stash_refs:
+            stash_refs[0][0] = x.reshape(TR, S, H)
         mid = 0
         for i in range(1, 8):
             if i == 5:
-                ys = [
-                    dense(e, W5e_ref[...].astype(bf), tdt)
-                    + dense(x, W5x_ref[...].astype(bf), tdt)
-                    + cb5_ref[bidx][None, :].astype(tdt)
-                    for e, x in zip(chunks, xs)
-                ]
+                y = (
+                    dense(embed, W5e_ref[...].astype(bf))
+                    + dense(x, W5x_ref[...].astype(bf))
+                    + cb5_ref[bidx][None, :]
+                )
             else:
-                ys = [
-                    dense(x, Wmid_ref[mid].astype(bf), tdt)
-                    + bmid_ref[mid][None, :].astype(tdt)
-                    for x in xs
-                ]
+                y = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
                 mid += 1
-            xs = [jnp.maximum(y, 0.0).astype(bf) for y in ys]
+            x = jnp.maximum(y, 0.0).astype(bf)
+            if stash_refs:
+                stash_refs[i][0] = x.reshape(TR, S, H)
 
-        dens_parts, feat_parts = [], []
-        for x in xs:
-            dens_parts.append(
-                jnp.maximum(dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0)
-            )
-            y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
-            y = dense(y.astype(bf), Wr1x_ref[...].astype(bf), tdt) + cbr1_ref[bidx][None, :].astype(tdt)
-            y = jnp.maximum(y, 0.0).astype(bf)
-            feat_parts.append(dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :])
-        density = (
-            jnp.concatenate(dens_parts, axis=0) if len(dens_parts) > 1 else dens_parts[0]
+        density = jnp.maximum(
+            dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0
         )
-        feat = (
-            jnp.concatenate(feat_parts, axis=0) if len(feat_parts) > 1 else feat_parts[0]
-        )
+        y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+        y0b = y.astype(bf)
+        y = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
+        y = jnp.maximum(y, 0.0).astype(bf)
+        if stash_refs:
+            stash_refs[8][0] = y0b.reshape(TR, S, H)
+            stash_refs[9][0] = y.reshape(TR, S, H2)
+        feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]
 
         # ---- volume integration in VMEM ----
         sigma = density.reshape(TR, S)
@@ -201,11 +183,19 @@ def _field_kernel(dims: FieldDims):
     return kernel
 
 
+def compiler_params(dims: FieldDims):
+    """Mosaic compiler params for a kernel at these dims (None = defaults)."""
+    if not dims.vmem_limit_mb or dims.interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=dims.vmem_limit_mb * 1024 * 1024)
+
+
 def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
     B, R, S, De = embed.shape
     TR = dims.tile_rays
     assert R % TR == 0, (R, TR)
     H, C = dims.hidden, dims.feat
+    H2 = H // 2
     p = _split_params(params, dims)
 
     f32 = jnp.float32
@@ -231,6 +221,25 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
         p["Wr2"].astype(bf), p["br2"].astype(f32),
     ]
 
+    out_specs = [
+        tile((1, TR, C), lambda b, r: (b, r, 0)),
+        tile((1, TR, 1), lambda b, r: (b, r, 0)),
+        tile((1, TR, 1), lambda b, r: (b, r, 0)),
+        tile((1, TR, S), lambda b, r: (b, r, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, R, C), f32),
+        jax.ShapeDtypeStruct((B, R, 1), f32),
+        jax.ShapeDtypeStruct((B, R, 1), f32),
+        jax.ShapeDtypeStruct((B, R, S), f32),
+    ]
+    if dims.stash_acts:
+        # trunk acts x0..x7 + head intermediates (y0b, y1), bf16 in HBM
+        stash_widths = [H] * 9 + [H2]
+        for w_ in stash_widths:
+            out_specs.append(tile((1, TR, S, w_), lambda b, r: (b, r, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((B, R, S, w_), bf))
+
     out = pl.pallas_call(
         _field_kernel(dims),
         grid=grid,
@@ -243,22 +252,14 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
             const(cbr1),
         ]
         + [const(w) for w in weights],
-        out_specs=[
-            tile((1, TR, C), lambda b, r: (b, r, 0)),
-            tile((1, TR, 1), lambda b, r: (b, r, 0)),
-            tile((1, TR, 1), lambda b, r: (b, r, 0)),
-            tile((1, TR, S), lambda b, r: (b, r, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, R, C), f32),
-            jax.ShapeDtypeStruct((B, R, 1), f32),
-            jax.ShapeDtypeStruct((B, R, 1), f32),
-            jax.ShapeDtypeStruct((B, R, S), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=dims.interpret,
+        compiler_params=compiler_params(dims),
     )(embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights)
-    feat_int, bga, depth, w = out
-    return feat_int, bga[..., 0], depth[..., 0], w
+    feat_int, bga, depth, w = out[:4]
+    stash = tuple(out[4:])
+    return (feat_int, bga[..., 0], depth[..., 0], w), stash
 
 
 def xla_reference(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
@@ -309,22 +310,23 @@ def fused_field_render(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
 
     Returns ``(feat_int [B,R,C], bg_alpha [B,R], depth [B,R], weights [B,R,S])``.
     """
-    return _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+    out, _ = _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+    return out
 
 
 def _fwd(params, embed, sc, ac, zvals, zdists, dims):
-    out = _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
-    return out, (params, embed, sc, ac, zvals, zdists)
+    out, stash = _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+    return out, (params, embed, sc, ac, zvals, zdists, stash)
 
 
 def _bwd(dims, res, g):
-    params, embed, sc, ac, zvals, zdists = res
+    params, embed, sc, ac, zvals, zdists, stash = res
     if dims.use_pallas_bwd:
         from gazenerf_tpu.kernels.fused_field_bwd import pallas_backward
 
         bdims = dims._replace(tile_rays=dims.bwd_tile_rays)
         dparams, dembed, dsc, dac, dzvals, dzdists = pallas_backward(
-            params, embed, sc, ac, zvals, zdists, bdims, g
+            params, embed, sc, ac, zvals, zdists, bdims, g, stash=stash
         )
         return dparams, dembed, dsc, dac, dzvals, dzdists
     _, vjp = jax.vjp(

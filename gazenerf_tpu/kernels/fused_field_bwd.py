@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gazenerf_tpu.kernels.fused_field import FieldDims, _split_params
+from gazenerf_tpu.kernels.fused_field import FieldDims, _split_params, compiler_params
 
 _EPS = 1e-10
 
@@ -45,12 +45,16 @@ def _bwd_kernel(dims: FieldDims):
         W0e_ref, Wmid_ref, bmid_ref, W5e_ref, W5x_ref,
         Wd_ref, bd_ref, Wr0_ref, br0_ref, Wr1x_ref, Wr2_ref, br2_ref,
         gfeat_ref, gbga_ref, gdepth_ref, gw_ref,
-        # outputs
-        dembed_ref, dzvals_ref, dzdists_ref,
-        dcb0_ref, dcb5_ref, dcbr1_ref,
-        dW0e_ref, dWmid_ref, dbmid_ref, dW5e_ref, dW5x_ref,
-        dWd_ref, dbd_ref, dWr0_ref, dbr0_ref, dWr1x_ref, dWr2_ref, dbr2_ref,
+        # [optional stashed activations: acts0..7, y0b, y1] then outputs
+        *rest,
     ):
+        stash_refs = rest[:-18]
+        (
+            dembed_ref, dzvals_ref, dzdists_ref,
+            dcb0_ref, dcb5_ref, dcbr1_ref,
+            dW0e_ref, dWmid_ref, dbmid_ref, dW5e_ref, dW5x_ref,
+            dWd_ref, dbd_ref, dWr0_ref, dbr0_ref, dWr1x_ref, dWr2_ref, dbr2_ref,
+        ) = rest[-18:]
         f32 = jnp.float32
         bf = jnp.bfloat16
         bidx = pl.program_id(0)
@@ -73,40 +77,41 @@ def _bwd_kernel(dims: FieldDims):
                 x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32
             )
 
-        # ---------- forward recompute (stash activations) ----------
+        # ---------- forward activations: read the stash, or recompute ----------
         embed = embed_ref[0].reshape(N, De).astype(bf)
-        # trunk recompute emits bf16 straight from the MXU (see fused_field)
-        tdt = bf if dims.trunk_bf16_out else f32
 
-        def tdense(x, w):
-            return jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())), preferred_element_type=tdt
-            )
-
-        acts = []
-        x = tdense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :].astype(tdt)
-        x = jnp.maximum(x, 0.0).astype(bf)
-        acts.append(x)  # x0
-        mid = 0
-        for i in range(1, 8):
-            if i == 5:
-                x = (
-                    tdense(embed, W5e_ref[...].astype(bf))
-                    + tdense(x, W5x_ref[...].astype(bf))
-                    + cb5_ref[bidx][None, :].astype(tdt)
-                )
-            else:
-                x = tdense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :].astype(tdt)
-                mid += 1
+        if stash_refs:
+            # forward stashed x0..x7, y0b, y1 in HBM (bf16); only the two
+            # cheap head matmuls (density, rgb_2) are recomputed here
+            acts = [stash_refs[i][0].reshape(N, H) for i in range(8)]
+            x7 = acts[7]
+            y0b = stash_refs[8][0].reshape(N, H)
+            y1 = stash_refs[9][0].reshape(N, H2)
+        else:
+            acts = []
+            x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
             x = jnp.maximum(x, 0.0).astype(bf)
-            acts.append(x)
-        x7 = acts[7]
+            acts.append(x)  # x0
+            mid = 0
+            for i in range(1, 8):
+                if i == 5:
+                    x = (
+                        dense(embed, W5e_ref[...].astype(bf))
+                        + dense(x, W5x_ref[...].astype(bf))
+                        + cb5_ref[bidx][None, :]
+                    )
+                else:
+                    x = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
+                    mid += 1
+                x = jnp.maximum(x, 0.0).astype(bf)
+                acts.append(x)
+            x7 = acts[7]
+            y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+            y0b = y0.astype(bf)
+            y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
+            y1 = jnp.maximum(y1, 0.0).astype(bf)
         dens_pre = dense(x7, Wd_ref[...].astype(bf)) + bd_ref[...][None, :]
         sigma = jnp.maximum(dens_pre, 0.0).reshape(TR, S)
-        y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
-        y0b = y0.astype(bf)
-        y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
-        y1 = jnp.maximum(y1, 0.0).astype(bf)
         feat = dense(y1, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]  # [N,C] f32
 
         zdists = zdists_ref[0]
@@ -146,12 +151,10 @@ def _bwd_kernel(dims: FieldDims):
         dzdists_ref[0] = ddists
 
         # ---------- head backward ----------
-        # data-gradient matmuls run in bf16 (dims.bwd_dx_bf16): f32 dots
-        # cost ~4x on the MXU and the relu masks are already bf16-derived
-        gdt = bf if dims.bwd_dx_bf16 else f32
-
-        def dgrad(g, w):  # g @ w^T at the data-grad dtype, f32 accumulate
-            return dense_t(g.astype(gdt), w.astype(gdt))
+        # data-gradient matmuls in f32 (A/B'd EQUAL to bf16 at TR=8 and
+        # TR=32 on v5e — keep the extra precision; PERF_NOTES rounds 2-3)
+        def dgrad(g, w):  # g @ w^T, f32 accumulate
+            return dense_t(g.astype(f32), w.astype(f32))
 
         dpre_dens = jnp.where(dens_pre > 0.0, 1.0, 0.0) * dsigma.reshape(N, 1)
         dfeat = dfeat3.reshape(N, C)
@@ -211,7 +214,9 @@ def _bwd_kernel(dims: FieldDims):
     return kernel
 
 
-def pallas_backward(params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims, g):
+def pallas_backward(
+    params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims, g, stash=()
+):
     """Run the backward kernel; returns cotangents for
     ``(params, embed, sc, ac, zvals, zdists)``."""
     B, R, S, De = embed.shape
@@ -290,6 +295,11 @@ def pallas_backward(params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims,
         const_shape((C,)),
     ]
 
+    stash = tuple(stash) if dims.stash_acts else ()
+    stash_specs = [
+        tile((1, TR, S, a.shape[-1]), lambda b, r: (b, r, 0, 0)) for a in stash
+    ]
+
     outs = pl.pallas_call(
         _bwd_kernel(dims),
         grid=grid,
@@ -305,13 +315,15 @@ def pallas_backward(params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims,
             tile((1, TR, 1), lambda b, r: (b, r, 0)),
             tile((1, TR, 1), lambda b, r: (b, r, 0)),
             tile((1, TR, S), lambda b, r: (b, r, 0)),
-        ],
+        ]
+        + stash_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=dims.interpret,
+        compiler_params=compiler_params(dims),
     )(
         embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights,
-        gfeat, gbga3, gdepth3, gw,
+        gfeat, gbga3, gdepth3, gw, *stash,
     )
 
     (

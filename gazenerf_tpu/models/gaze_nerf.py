@@ -128,9 +128,8 @@ class GazeNeRF(nn.Module):
             btr //= 2
         dims = default_dims(cfg, interpret=interpret)._replace(
             samples=S, tile_rays=tr, bwd_tile_rays=btr,
-            bwd_dx_bf16=cfg.pallas_bwd_dx_bf16,
-            trunk_bf16_out=cfg.pallas_trunk_bf16,
-            split2=cfg.pallas_split2,
+            vmem_limit_mb=cfg.pallas_vmem_mb,
+            stash_acts=cfg.pallas_stash_acts,
         )
         return dims if R % dims.tile_rays == 0 else None
 

@@ -122,6 +122,29 @@ def test_pallas_backward_matches_f32_truth(rng):
         assert k_err < max(2.0 * x_err, 0.03), (name, k_err, x_err)
 
 
+def test_stash_acts_backward_matches_recompute(rng):
+    """stash_acts=True reads forward activations from HBM instead of
+    recomputing them in-tile; since the stash holds the exact bf16 values the
+    recompute reproduces, the gradients must agree to float tolerance."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True)
+
+    def make_loss(d):
+        def loss(params, embed, sc, ac):
+            f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, d)
+            return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+        return loss
+
+    g_re = jax.grad(make_loss(dims), argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    g_st = jax.grad(make_loss(dims._replace(stash_acts=True)), argnums=(0, 1, 2, 3))(
+        params, embed, sc, ac
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_re), jax.tree_util.tree_leaves(g_st)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 def test_model_fused_path_matches_xla(rng):
     """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
     from gazenerf_tpu.config import ModelConfig

@@ -35,6 +35,9 @@ def make_runner(overrides: dict, N: int):
         renderer_dtype="bfloat16",
         remat_fields=False,
         use_pallas=True,
+        pallas_stash_acts=True,
+        pallas_bwd_tile_rays=16,
+        pallas_vmem_mb=100,
     )
     mc.update(overrides)
     loss_kw = {
