@@ -147,7 +147,23 @@ def main(argv=None) -> int:
         choices=["input_target_images", "consistency", "gaze_transfer",
                  "personal_calibration"],
     )
-    p.add_argument("--subject", type=str, default=None)
+    p.add_argument("--subject", type=str, default=None,
+                   help="restrict to one subject (default: sweep every "
+                        "subject of the chosen split, like the reference)")
+    p.add_argument("--split", type=str, default="val",
+                   help="train_test_split.json key to sweep (reference "
+                        "evaluates the val subjects — metrics_utils.py:152)")
+    p.add_argument("--img_dirs", type=str, default="",
+                   help="comma-separated dataset dirs for a multi-dataset "
+                        "sweep (parallel to --dataset_names); defaults to "
+                        "the single --img_dir")
+    p.add_argument("--dataset_names", type=str, default="",
+                   help="comma-separated dataset kinds for --img_dirs")
+    p.add_argument("--calib_out_dir", type=str, default="",
+                   help="personal_calibration: directory for the synthesized "
+                        "h5 files (reference metrics_utils.py:443-447)")
+    p.add_argument("--num_fit_images", type=int, default=5,
+                   help="personal_calibration: images fitted per subject")
     p.add_argument("--fit_steps", type=int, default=50)
     p.add_argument("--max_pairs", type=int, default=20)
     p.add_argument("--estimator_ckpt", type=str, default="",
@@ -171,73 +187,152 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
 
     use_target = args.evaluation_type == "input_target_images"
-    ds = GazeH5Dataset(
-        cfg.data.img_dir,
-        subjects=[args.subject] if args.subject else None,
-        dataset=cfg.data.dataset, shuffle=False,
-        evaluate="target" if use_target else None,
-    )
-    loader = BatchLoader(ds, 1, num_workers=1, skip_invalid=False)
-    batches = []
-    for i, b in enumerate(loader):
-        if i >= (args.max_pairs if use_target else 2 * args.max_pairs):
-            break
-        batches.append(b)
+
+    # dataset sweep list: (kind, dir) pairs — the reference loops every
+    # dataset's val subjects (metrics_utils.py:137-220)
+    if args.img_dirs:
+        dirs = [d for d in args.img_dirs.split(",") if d]
+        kinds = (
+            [k for k in args.dataset_names.split(",") if k]
+            if args.dataset_names
+            else [cfg.data.dataset] * len(dirs)
+        )
+        datasets = list(zip(kinds, dirs))
+    else:
+        datasets = [(cfg.data.dataset, cfg.data.img_dir)]
 
     trainer = Trainer(cfg, train_len=1, steps_per_epoch=1)
     if args.resume:
         trainer.state, _, _ = load_checkpoint(args.resume, trainer.state)
 
     identity_pipeline = None
+    identity_valid = True
     if args.identity_embed_ckpt or args.identity_detector_ckpt or args.identity_aligner_ckpt:
         identity_pipeline = build_identity_pipeline(
             args.identity_embed_ckpt, args.identity_detector_ckpt,
             args.identity_aligner_ckpt,
         )
-    cam_lookup = None
-    if args.cam_dir:
-        from gazenerf_tpu.data.cameras import (
-            load_camera_calibrations,
-            make_cam_lookup,
-        )
-
-        cams = load_camera_calibrations(cfg.data.dataset, args.cam_dir)
-        cam_lookup = make_cam_lookup(
-            cfg.data.dataset, cams, subject=args.subject or ""
-        )
+        # without real embedder weights the similarity score is meaningless;
+        # the protocol omits it and the result carries the validity flag
+        identity_valid = bool(args.identity_embed_ckpt)
     from gazenerf_tpu.eval.protocols import make_eval_normalizer
 
-    ctx = EvalContext.build(
-        cfg, trainer.model, trainer.state, trainer.frozen, trainer.expr_fix,
-        fit_steps=args.fit_steps,
-        estimator_fn=build_estimator(args.estimator_ckpt),
-        identity_pipeline=identity_pipeline,
-        lpips_fn=build_lpips(args.vgg_ckpt, args.lpips_lin_ckpt),
-        fid_feats_fn=build_fid_features(args.inception_ckpt),
-        normalizer=make_eval_normalizer(),
-        cam_lookup=cam_lookup,
-    )
+    estimator_fn = build_estimator(args.estimator_ckpt)
+    lpips_fn = build_lpips(args.vgg_ckpt, args.lpips_lin_ckpt)
+    fid_feats_fn = build_fid_features(args.inception_ckpt)
 
-    if args.evaluation_type == "input_target_images":
-        from gazenerf_tpu.eval.protocols import split_target_batch
+    def make_ctx(dataset_kind: str, subject: str) -> EvalContext:
+        cam_lookup = None
+        if args.cam_dir:
+            from gazenerf_tpu.data.cameras import (
+                load_camera_calibrations,
+                make_cam_lookup,
+            )
 
-        pairs = [split_target_batch(b) for b in batches]
-        res = evaluate_input_target_images(ctx, pairs[: args.max_pairs])
-    elif args.evaluation_type == "consistency":
-        res = evaluate_consistency(ctx, batches[: args.max_pairs])
-    elif args.evaluation_type == "gaze_transfer":
-        res = evaluate_gaze_transfer(ctx, batches[0], batches[1])
-        res = {k: v for k, v in res.items() if not isinstance(v, np.ndarray)}
-    else:  # personal_calibration
-        from gazenerf_tpu.eval.protocols import evaluate_personal_calibration
-
-        n_cal = max(1, len(batches) // 4)
-        out = evaluate_personal_calibration(
-            ctx, batches[:n_cal], batches[n_cal : n_cal + args.max_pairs]
+            cams = load_camera_calibrations(dataset_kind, args.cam_dir)
+            cam_lookup = make_cam_lookup(dataset_kind, cams, subject=subject)
+        return EvalContext.build(
+            cfg, trainer.model, trainer.state, trainer.frozen, trainer.expr_fix,
+            fit_steps=args.fit_steps,
+            estimator_fn=estimator_fn,
+            identity_pipeline=identity_pipeline,
+            lpips_fn=lpips_fn,
+            fid_feats_fn=fid_feats_fn,
+            normalizer=make_eval_normalizer(),
+            cam_lookup=cam_lookup,
+            identity_valid=identity_valid,
         )
-        res = {"num_rendered": len(out["rendered"])}
 
-    print(json.dumps(res, indent=2, default=float))
+    def subject_batches(kind: str, ddir: str, subject: str):
+        ds = GazeH5Dataset(
+            ddir, subjects=[subject], dataset=kind, shuffle=False,
+            split=args.split, evaluate="target" if use_target else None,
+        )
+        loader = BatchLoader(ds, 1, num_workers=1, skip_invalid=False)
+        batches = []
+        limit = args.max_pairs if use_target else 2 * args.max_pairs
+        for i, b in enumerate(loader):
+            if i >= limit:
+                break
+            batches.append(b)
+        return batches
+
+    def list_subjects(kind: str, ddir: str):
+        if args.subject:
+            return [args.subject]
+        ds = GazeH5Dataset(ddir, dataset=kind, shuffle=False, split=args.split)
+        return ds.subjects
+
+    per_dataset = {}
+    for kind, ddir in datasets:
+        subjects = list_subjects(kind, ddir)
+        if args.evaluation_type == "input_target_images":
+            from gazenerf_tpu.eval.protocols import (
+                evaluate_input_target_sweep,
+                split_target_batch,
+            )
+
+            subject_pairs = {}
+            ctx = None
+            for s in subjects:
+                ctx = make_ctx(kind, s)
+                subject_pairs[s] = [
+                    split_target_batch(b) for b in subject_batches(kind, ddir, s)
+                ]
+            res = evaluate_input_target_sweep(ctx, subject_pairs)
+        elif args.evaluation_type == "consistency":
+            per_subject = {}
+            for s in subjects:
+                ctx = make_ctx(kind, s)
+                batches = subject_batches(kind, ddir, s)
+                if batches:
+                    per_subject[s] = evaluate_consistency(ctx, batches)
+            overall = {}
+            if per_subject:
+                keys = next(iter(per_subject.values())).keys()
+                overall = {
+                    k: float(np.mean([v[k] for v in per_subject.values()]))
+                    for k in keys
+                }
+            res = {"per_subject": per_subject, "overall": overall}
+        elif args.evaluation_type == "gaze_transfer":
+            s = subjects[0]
+            batches = subject_batches(kind, ddir, s)
+            ctx = make_ctx(kind, s)
+            res = evaluate_gaze_transfer(ctx, batches[0], batches[1])
+            res = {k: v for k, v in res.items() if not isinstance(v, np.ndarray)}
+        else:  # personal_calibration
+            import os
+
+            from gazenerf_tpu.eval.protocols import evaluate_personal_calibration
+
+            per_subject = {}
+            for s in subjects:
+                ctx = make_ctx(kind, s)
+                batches = subject_batches(kind, ddir, s)
+                if not batches:
+                    continue
+                fit_idx = list(range(min(args.num_fit_images, len(batches))))
+                out_path = None
+                if args.calib_out_dir:
+                    os.makedirs(args.calib_out_dir, exist_ok=True)
+                    out_path = os.path.join(
+                        args.calib_out_dir,
+                        f"{s.replace('.h5','')}_nsample_{len(fit_idx)}_iter_0.h5",
+                    )
+                out = evaluate_personal_calibration(
+                    ctx, batches, fit_idx, out_h5_path=out_path
+                )
+                per_subject[s] = {
+                    "num_frames": out["num_frames"], "h5_path": out["h5_path"]
+                }
+            res = {"per_subject": per_subject}
+        if identity_pipeline is not None:
+            res["identity_similarity_valid"] = identity_valid
+        per_dataset[kind] = res
+
+    result = per_dataset if len(per_dataset) > 1 else next(iter(per_dataset.values()))
+    print(json.dumps(result, indent=2, default=float))
     return 0
 
 

@@ -102,6 +102,11 @@ class ModelConfig:
     # is what blocked bwd_tile_rays>8 ("25.58M scoped vs 16M", PERF_NOTES
     # round 2).  0 = compiler default.
     pallas_vmem_mb: int = 0
+    # compute the positional encoding inside the fused field kernels (raw
+    # sample points in, dpts cotangent out): the [B,R,S,63] embed/dembed
+    # tensors never touch HBM and the XLA-side sin/cos+concat+layout chain
+    # disappears
+    pallas_fuse_embed: bool = False
     # field fwd kernel stashes its trunk/head activations (bf16) in HBM and
     # the bwd kernel reads them instead of recomputing the forward in-tile:
     # trades ~3.8 GB/branch of pipelined HBM traffic for 1/3 of the

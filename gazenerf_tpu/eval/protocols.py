@@ -114,6 +114,10 @@ class EvalContext:
     # calibration lookup: cam_index -> (camera_matrix, distortion)
     normalizer: Optional[Callable] = None
     cam_lookup: Optional[Callable] = None
+    # False when the identity embedder runs without real (transplanted)
+    # weights: identity_similarity is then numerically meaningless and is
+    # OMITTED from results rather than silently averaged in
+    identity_valid: bool = True
 
     @classmethod
     def build(
@@ -131,6 +135,7 @@ class EvalContext:
         fid_feats_fn=None,
         normalizer=None,
         cam_lookup=None,
+        identity_valid=True,
     ) -> "EvalContext":
         return cls(
             cfg=cfg,
@@ -147,6 +152,7 @@ class EvalContext:
             fid_feats_fn=fid_feats_fn,
             normalizer=normalizer,
             cam_lookup=cam_lookup,
+            identity_valid=identity_valid,
         )
 
 
@@ -157,6 +163,40 @@ def _resize224_u8(img01: jnp.ndarray) -> np.ndarray:
 
     r = resize_bilinear(img01, (224, 224))[0]
     return (np.clip(np.asarray(r), 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def _warp224(ctx: EvalContext, img, batch) -> jnp.ndarray:
+    """Undistort + face-normalize a [1,H,W,3] float01 image to [1,224,224,3].
+
+    The reference's ``normalize(...)`` call applied to every estimator input
+    and to the personal-calibration h5 frames (utils/metrics_utils.py:265-283,
+    :681-695, :538-586).  With no calibration files, degrades to the
+    h5-stored intrinsics and zero distortion; with no normalizer, to a plain
+    bilinear 224 resize.
+    """
+    from gazenerf_tpu.ops.image import resize_bilinear
+
+    if ctx.normalizer is None:
+        return resize_bilinear(img, (224, 224))
+    if ctx.cam_lookup is not None:
+        cam_K, cam_d = ctx.cam_lookup(
+            int(np.asarray(batch["cam_index"]).reshape(-1)[0])
+        )
+    else:
+        cam_K = np.asarray(batch["inmat"])[0]
+        cam_d = np.zeros((5, 1))
+    lm68 = np.asarray(batch["landmarks"])[0]
+    warped = ctx.normalizer(np.asarray(img[0]), lm68, cam_K, cam_d)
+    return jnp.asarray(warped)[None]
+
+
+def _estimator_input(ctx: EvalContext, img, batch) -> jnp.ndarray:
+    """Prepare a rendered/GT image for the frozen gaze estimator: the
+    :func:`_warp224` normalization followed by ImageNet statistics (the
+    reference's ``trans`` transform, utils/metrics_utils.py:299-313)."""
+    from gazenerf_tpu.models.vgg import normalize_imagenet
+
+    return normalize_imagenet(_warp224(ctx, img, batch))
 
 
 def _pair_metrics(ctx: EvalContext, pred_img, target_img, tgt) -> Dict[str, float]:
@@ -176,35 +216,13 @@ def _pair_metrics(ctx: EvalContext, pred_img, target_img, tgt) -> Dict[str, floa
         out["lpips"] = float(M.lpips_like(ctx.feats_fn, pred_img, target_img)[0])
 
     if ctx.estimator_fn is not None:
-        from gazenerf_tpu.models.vgg import normalize_imagenet
-        from gazenerf_tpu.ops.image import resize_bilinear
         from gazenerf_tpu.ops.rotation import (
             angular_error_deg,
             pitchyaw_to_vector,
         )
 
-        if ctx.normalizer is not None:
-            # the reference warps BOTH images through the target's camera +
-            # landmarks before the estimator (metrics_utils.py:265-283,299-313);
-            # with no calibration files, degrade to the h5-stored intrinsics
-            # and zero distortion
-            if ctx.cam_lookup is not None:
-                cam_K, cam_d = ctx.cam_lookup(
-                    int(np.asarray(tgt["cam_index"]).reshape(-1)[0])
-                )
-            else:
-                cam_K = np.asarray(tgt["inmat"])[0]
-                cam_d = np.zeros((5, 1))
-            lm68 = np.asarray(tgt["landmarks"])[0]
-            gt_in = ctx.normalizer(np.asarray(target_img[0]), lm68, cam_K, cam_d)
-            pr_in = ctx.normalizer(np.asarray(pred_img[0]), lm68, cam_K, cam_d)
-            gt_in = jnp.asarray(gt_in)[None]
-            pr_in = jnp.asarray(pr_in)[None]
-        else:
-            gt_in = resize_bilinear(target_img, (224, 224))
-            pr_in = resize_bilinear(pred_img, (224, 224))
-        g_gt, h_gt = ctx.estimator_fn(normalize_imagenet(gt_in))
-        g_pr, h_pr = ctx.estimator_fn(normalize_imagenet(pr_in))
+        g_gt, h_gt = ctx.estimator_fn(_estimator_input(ctx, target_img, tgt))
+        g_pr, h_pr = ctx.estimator_fn(_estimator_input(ctx, pred_img, tgt))
         out["gaze_angular_deg"] = float(
             jnp.mean(angular_error_deg(
                 pitchyaw_to_vector(g_gt), pitchyaw_to_vector(g_pr)
@@ -216,7 +234,9 @@ def _pair_metrics(ctx: EvalContext, pred_img, target_img, tgt) -> Dict[str, floa
             ))
         )
 
-    if ctx.identity_pipeline is not None:
+    if not ctx.identity_valid:
+        pass  # no real embedder weights: omit the meaningless score
+    elif ctx.identity_pipeline is not None:
         # reference: 224-resized uint8 RGB pairs through the FaceX-Zoo
         # pipeline; any failure scores -0.1 (metrics_utils.py:327-340)
         try:
@@ -234,6 +254,53 @@ def _pair_metrics(ctx: EvalContext, pred_img, target_img, tgt) -> Dict[str, floa
     return out
 
 
+def _input_target_collect(ctx: EvalContext, pairs):
+    """Per-pair input-target loop; returns (per_pair metric dicts, collected
+    whitened-GT / prediction image sets for FID pooling)."""
+    per_pair = []
+    gt_images, pred_images = [], []
+    for pair in pairs:
+        inp = _single(pair["input"])
+        tgt = _single(pair["target"])
+        # personalize on the input image from the SAME base checkpoint
+        fitted, _ = ctx.fit(ctx.base_state, inp)
+        # re-render with the target's camera + gaze
+        pred = ctx.predict(fitted, tgt)
+        pred = jnp.nan_to_num(pred, nan=1.0)  # reference guard :295
+        # nonhead region of the GT forced to white (reference :257-263)
+        hm = tgt["head_mask"][..., None]
+        gt = jnp.where(
+            jnp.broadcast_to(hm < 0.5, tgt["image"].shape), 1.0, tgt["image"]
+        )
+        per_pair.append(_pair_metrics(ctx, pred, gt, tgt))
+        gt_images.append(np.asarray(gt[0]))
+        pred_images.append(np.asarray(pred[0]))
+    return per_pair, gt_images, pred_images
+
+
+def _fid_of(ctx: EvalContext, gt_images, pred_images) -> Optional[float]:
+    """FID between collected image sets: exact InceptionV3 backend when
+    available, VGG frechet fallback otherwise (reference piq FID :390-398)."""
+    if len(gt_images) < 2:
+        return None
+    if ctx.fid_feats_fn is not None:
+        return M.fid(ctx.fid_feats_fn, gt_images, pred_images)
+    if ctx.feats_fn is not None:
+        def pool(imgs):
+            fs = [ctx.feats_fn(jnp.asarray(im)[None])[-1] for im in imgs]
+            return np.stack(
+                [np.asarray(f).reshape(f.shape[0], -1).mean(0) for f in fs]
+            )
+
+        return M.frechet_distance(pool(pred_images), pool(gt_images))
+    return None
+
+
+def _aggregate_pairs(per_pair: List[Dict[str, float]]) -> Dict[str, float]:
+    keys = [k for k in per_pair[0] if isinstance(per_pair[0][k], (int, float))]
+    return {k: float(np.mean([m[k] for m in per_pair])) for k in keys}
+
+
 def evaluate_input_target_images(
     ctx: EvalContext,
     pairs: List[Dict[str, Dict[str, np.ndarray]]],
@@ -248,95 +315,154 @@ def evaluate_input_target_images(
     estimator; identity via the FaceX-Zoo pipeline at 224; FID between the
     collected whitened-GT and prediction sets.
     """
-    per_pair = []
-    gt_images, pred_images = [], []
-    pred_feats, tgt_feats = [], []
-    for pair in pairs:
-        inp = _single(pair["input"])
-        tgt = _single(pair["target"])
-        # personalize on the input image from the SAME base checkpoint
-        fitted, _ = ctx.fit(ctx.base_state, inp)
-        # re-render with the target's camera + gaze
-        pred = ctx.predict(fitted, tgt)
-        pred = jnp.nan_to_num(pred, nan=1.0)  # reference guard :295
-        # nonhead region of the GT forced to white (reference :257-263)
-        hm = tgt["head_mask"][..., None]
-        gt = jnp.where(
-            jnp.broadcast_to(hm < 0.5, tgt["image"].shape), 1.0, tgt["image"]
-        )
-        m = _pair_metrics(ctx, pred, gt, tgt)
-        per_pair.append(m)
-        if ctx.fid_feats_fn is not None:
-            gt_images.append(np.asarray(gt[0]))
-            pred_images.append(np.asarray(pred[0]))
-        elif ctx.feats_fn is not None:
-            pf = ctx.feats_fn(pred)[-1]
-            tf = ctx.feats_fn(gt)[-1]
-            pred_feats.append(np.asarray(pf).reshape(pf.shape[0], -1).mean(0))
-            tgt_feats.append(np.asarray(tf).reshape(tf.shape[0], -1).mean(0))
-
-    result = {
-        k: float(np.mean([m[k] for m in per_pair])) for k in per_pair[0]
-    }
-    if len(gt_images) >= 2:
-        result["fid"] = M.fid(ctx.fid_feats_fn, gt_images, pred_images)
-    elif len(pred_feats) >= 2:
-        result["fid"] = M.frechet_distance(
-            np.stack(pred_feats), np.stack(tgt_feats)
-        )
+    per_pair, gt_images, pred_images = _input_target_collect(ctx, pairs)
+    result = _aggregate_pairs(per_pair)
+    f = _fid_of(ctx, gt_images, pred_images)
+    if f is not None:
+        result["fid"] = f
     result["num_pairs"] = len(per_pair)
     return result
 
 
+def evaluate_input_target_sweep(
+    ctx: EvalContext,
+    subject_pairs: Dict[str, List[Dict[str, Dict[str, np.ndarray]]]],
+) -> Dict[str, object]:
+    """Full-dataset input-target sweep: every subject's pair list, with
+    per-subject metrics + FID, and the dataset-level aggregates computed over
+    the POOLED image sets (the reference accumulates per-subject and overall
+    FID sets across the whole val split — utils/metrics_utils.py:137-220,
+    :386-398)."""
+    per_subject: Dict[str, Dict[str, float]] = {}
+    all_pairs: List[Dict[str, float]] = []
+    all_gt, all_pred = [], []
+    for subj, pairs in subject_pairs.items():
+        if not pairs:
+            continue
+        pp, gt_imgs, pred_imgs = _input_target_collect(ctx, pairs)
+        res = _aggregate_pairs(pp)
+        f = _fid_of(ctx, gt_imgs, pred_imgs)
+        if f is not None:
+            res["fid"] = f
+        res["num_pairs"] = len(pp)
+        per_subject[subj] = res
+        all_pairs.extend(pp)
+        all_gt.extend(gt_imgs)
+        all_pred.extend(pred_imgs)
+    overall = _aggregate_pairs(all_pairs) if all_pairs else {}
+    f = _fid_of(ctx, all_gt, all_pred)
+    if f is not None:
+        overall["fid"] = f
+    overall["num_pairs"] = len(all_pairs)
+    overall["num_subjects"] = len(per_subject)
+    return {"per_subject": per_subject, "overall": overall}
+
+
 def evaluate_personal_calibration(
     ctx: EvalContext,
-    calibration_batches: List[Dict[str, np.ndarray]],
-    synthesis_batches: List[Dict[str, np.ndarray]],
-    gaze_grid: Optional[List[List[float]]] = None,
+    batches: List[Dict[str, np.ndarray]],
+    fit_indices: List[int],
+    out_h5_path: Optional[str] = None,
 ) -> Dict[str, object]:
-    """Fit on the calibration images, synthesize redirected views of the rest
-    (reference :407-591 writes them to an h5 for estimator fine-tuning; we
-    return the rendered set and let the caller persist it)."""
+    """Personal-calibration set synthesis (reference :407-591).
+
+    Fit the latent offsets on ``batches[i] for i in fit_indices`` (the
+    reference draws ``num_images`` random indices, :440), then build the full
+    normalized 224-frame set: for non-fit frames the model's PREDICTION
+    (stored gaze) warped through undistort + face normalization; for fit
+    frames the nonhead-whitened GROUND TRUTH warped the same way (:538-586).
+    When ``out_h5_path`` is given, writes the reference's h5 schema —
+    ``face_patch`` uint8 BGR ``(N,224,224,3)``, lzf, chunked per frame
+    (:507-514) — ready for estimator fine-tuning.
+    """
     state = ctx.base_state
-    for b in calibration_batches:
-        state, _ = ctx.fit(state, _single(b))
-    if gaze_grid is None:
-        gaze_grid = [[p / 10.0, y / 10.0] for p in range(-2, 3) for y in range(-2, 3)]
-    rendered = []
-    for b in synthesis_batches:
+    fit_set = set(int(i) for i in fit_indices)
+    for i in sorted(fit_set):
+        state, _ = ctx.fit(state, _single(batches[i]))
+
+    frames = []
+    for i, b in enumerate(batches):
         sb = _single(b)
-        for gz in gaze_grid:
-            img = ctx.predict(state, sb, jnp.asarray(gz, jnp.float32))
-            rendered.append(
-                {"image": np.asarray(img[0]), "gaze": np.asarray(gz, np.float32)}
+        if i in fit_set:
+            # nonhead-whitened real image (reference :566-571)
+            hm = sb["head_mask"][..., None]
+            img = jnp.where(
+                jnp.broadcast_to(hm < 0.5, sb["image"].shape), 1.0, sb["image"]
             )
-    return {"rendered": rendered, "state": state}
+        else:
+            img = jnp.nan_to_num(ctx.predict(state, sb), nan=1.0)
+        warped = np.asarray(_warp224(ctx, img, sb)[0])
+        u8 = (np.clip(warped, 0.0, 1.0) * 255).astype(np.uint8)
+        frames.append(u8[..., ::-1])  # RGB -> BGR like the reference (:552)
+
+    arr = np.stack(frames)
+    if out_h5_path is not None:
+        import h5py
+
+        with h5py.File(out_h5_path, "w") as f:
+            d = f.create_dataset(
+                "face_patch",
+                shape=arr.shape,
+                compression="lzf",
+                dtype=np.uint8,
+                chunks=(1, 224, 224, 3),
+            )
+            d[...] = arr
+    return {
+        "face_patch": arr,
+        "h5_path": out_h5_path,
+        "num_frames": len(frames),
+        "state": state,
+    }
 
 
 def evaluate_consistency(
     ctx: EvalContext,
     batches: List[Dict[str, np.ndarray]],
     pitch_shifts_deg=(5.0, 10.0, 15.0, 20.0),
+    fit_index: int = 0,
 ) -> Dict[str, float]:
-    """Shift fitted gaze pitch by +5..20 deg; the estimator's measured shift
-    should track the commanded shift (reference :594-766)."""
-    results = {f"shift_{int(s)}deg_response": [] for s in pitch_shifts_deg}
-    for b in batches:
+    """Gaze-redirection consistency (reference utils/metrics_utils.py:594-766).
+
+    Reference shape: per subject, fit the latent offsets on ONE image
+    (``fit_index``; the reference picks it at random, :624), then for every
+    OTHER image render twice — once with the stored gaze and once with the
+    pitch shifted by the commanded amount (+5 deg hard-coded at :717; we sweep
+    the commented 5/10/15/20 ladder) — and push BOTH renders through
+    undistort + face normalization + ImageNet stats + the frozen estimator.
+    The scores are mean |estimator pitch delta| (tracks the commanded shift)
+    and mean |estimator yaw delta| (the untouched axis; should stay ~0),
+    matching the reference's ``loss`` / ``loss_not_modified`` accumulators
+    (:744-752).
+    """
+    pitch_resp = {s: [] for s in pitch_shifts_deg}
+    yaw_resp = {s: [] for s in pitch_shifts_deg}
+    fitted, _ = ctx.fit(ctx.base_state, _single(batches[fit_index]))
+    for i, b in enumerate(batches):
+        if i == fit_index:
+            continue  # reference skips the fit image (:664, :713)
         sb = _single(b)
-        fitted, _ = ctx.fit(ctx.base_state, sb)
         base_gaze = np.asarray(sb["pitchyaw"][0])
-        base_img = ctx.predict(fitted, sb)
+        base_img = jnp.nan_to_num(ctx.predict(fitted, sb), nan=1.0)
+        if ctx.estimator_fn is not None:
+            g0, _ = ctx.estimator_fn(_estimator_input(ctx, base_img, sb))
+            g0 = np.asarray(g0)[0]
         for s in pitch_shifts_deg:
             gz = base_gaze + np.array([np.deg2rad(s), 0.0], np.float32)
-            img = ctx.predict(fitted, sb, jnp.asarray(gz))
+            img = jnp.nan_to_num(ctx.predict(fitted, sb, jnp.asarray(gz)), nan=1.0)
             if ctx.estimator_fn is not None:
-                g0, _ = ctx.estimator_fn(base_img)
-                g1, _ = ctx.estimator_fn(img)
-                measured = float(np.rad2deg(np.asarray(g1 - g0)[0, 0]))
+                g1, _ = ctx.estimator_fn(_estimator_input(ctx, img, sb))
+                g1 = np.asarray(g1)[0]
+                pitch_resp[s].append(abs(float(np.rad2deg(g1[0] - g0[0]))))
+                yaw_resp[s].append(abs(float(np.rad2deg(g1[1] - g0[1]))))
             else:
-                measured = float(np.abs(np.asarray(img - base_img)).mean())
-            results[f"shift_{int(s)}deg_response"].append(measured)
-    return {k: float(np.mean(v)) for k, v in results.items()}
+                pitch_resp[s].append(float(np.abs(np.asarray(img - base_img)).mean()))
+                yaw_resp[s].append(0.0)
+    out: Dict[str, float] = {}
+    for s in pitch_shifts_deg:
+        out[f"shift_{int(s)}deg_pitch_response_deg"] = float(np.mean(pitch_resp[s]))
+        out[f"shift_{int(s)}deg_yaw_response_deg"] = float(np.mean(yaw_resp[s]))
+    return out
 
 
 def evaluate_gaze_transfer(

@@ -60,6 +60,11 @@ class FieldDims(NamedTuple):
     # activations (bf16) to HBM; the backward reads them instead of
     # recomputing the forward in-tile — trades ~3.8 GB/branch of (pipelined)
     # HBM traffic for 1/3 of the backward's MXU FLOPs
+    embed_in_kernel: bool = False  # take raw sample points [B,R,S,3] and
+    # compute the positional encoding in VMEM (and its cotangent dpts in the
+    # backward) — the [B,R,S,63] embed/dembed tensors never touch HBM and
+    # the XLA-side sin/cos + concat + layout-copy chain disappears
+    n_freqs: int = 10  # octaves for the in-kernel encoding (embed = 3+6*F)
 
 
 def _split_params(params: Dict, dims: FieldDims):
@@ -98,6 +103,55 @@ def _split_params(params: Dict, dims: FieldDims):
     }
 
 
+def _embed_consts(dims: FieldDims):
+    """Static helpers for the in-kernel positional encoding.
+
+    Column c of the [N,De] encoding is ``g(f_c * pts[:, d_c])`` where g is
+    identity / sin / cos.  ``P [3,De]`` scatters each point dim into its
+    columns pre-scaled by the frequency (ONE tiny MXU matmul instead of 21
+    lane-padded [N,3] ops + a lane concat — that formulation measured ~2x
+    slower end-to-end); the masks select g per column at full lane width.
+    Channel order matches gazenerf_tpu.ops.embedding.positional_encoding
+    (reference utils/model_utils.py:255-270).
+    """
+    De = dims.embed
+    f32 = jnp.float32
+    # built from iota (pallas kernels cannot capture array constants);
+    # everything here is shape-static and constant-folded by the compiler
+    row = jax.lax.broadcasted_iota(jnp.int32, (3, De), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (3, De), 1)
+    dim = jnp.where(col < 3, col, (col - 3) % 3)
+    f = jnp.where(col < 3, 0, (col - 3) // 6).astype(f32)
+    P = jnp.where(row == dim, jnp.exp2(f), 0.0).astype(f32)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, De), 1)
+    m_id = (c < 3).astype(f32)
+    m_sin = ((c >= 3) & (((c - 3) % 6) < 3)).astype(f32)
+    return P, m_id, m_sin
+
+
+def _embed_tile(pts, dims: FieldDims):
+    """In-VMEM positional encoding of a [N,3] point tile -> [N,De] f32."""
+    P, m_id, m_sin = _embed_consts(dims)
+    m_cos = 1.0 - m_id - m_sin
+    xb = jax.lax.dot_general(
+        pts, P, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return m_id * xb + m_sin * jnp.sin(xb) + m_cos * jnp.cos(xb)
+
+
+def _embed_bwd_tile(pts, dembed, dims: FieldDims):
+    """Cotangent of :func:`_embed_tile`: [N,De] f32 -> dpts [N,3] f32."""
+    P, m_id, m_sin = _embed_consts(dims)
+    m_cos = 1.0 - m_id - m_sin
+    xb = jax.lax.dot_general(
+        pts, P, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dxb = dembed * (m_id + m_sin * jnp.cos(xb) - m_cos * jnp.sin(xb))
+    return jax.lax.dot_general(
+        dxb, P, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _field_kernel(dims: FieldDims):
     De, H, C, S, TR = dims.embed, dims.hidden, dims.feat, dims.samples, dims.tile_rays
     H2 = H // 2
@@ -115,7 +169,11 @@ def _field_kernel(dims: FieldDims):
         bf = jnp.bfloat16
 
         bidx = pl.program_id(0)
-        embed = embed_ref[0].reshape(N, De).astype(bf)
+        if dims.embed_in_kernel:
+            pts = embed_ref[0].reshape(N, 3)
+            embed = _embed_tile(pts, dims).astype(bf)
+        else:
+            embed = embed_ref[0].reshape(N, De).astype(bf)
 
         def dense(x, w, prefer=f32):
             return jax.lax.dot_general(
@@ -191,7 +249,10 @@ def compiler_params(dims: FieldDims):
 
 
 def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
-    B, R, S, De = embed.shape
+    # ``embed`` is the raw sample points [B,R,S,3] when dims.embed_in_kernel
+    # (encoded in VMEM, f32 in); otherwise the precomputed [B,R,S,De] encoding
+    B, R, S, Din = embed.shape
+    De = dims.embed
     TR = dims.tile_rays
     assert R % TR == 0, (R, TR)
     H, C = dims.hidden, dims.feat
@@ -240,11 +301,12 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
             out_specs.append(tile((1, TR, S, w_), lambda b, r: (b, r, 0, 0)))
             out_shape.append(jax.ShapeDtypeStruct((B, R, S, w_), bf))
 
+    x_in = embed if dims.embed_in_kernel else embed.astype(bf)
     out = pl.pallas_call(
         _field_kernel(dims),
         grid=grid,
         in_specs=[
-            tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
             tile((1, TR, S), lambda b, r: (b, r, 0)),
             tile((1, TR, S), lambda b, r: (b, r, 0)),
             const(cb0),
@@ -256,7 +318,7 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
         out_shape=out_shape,
         interpret=dims.interpret,
         compiler_params=compiler_params(dims),
-    )(embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights)
+    )(x_in, zvals, zdists, cb0, cb5, cbr1, *weights)
     feat_int, bga, depth, w = out[:4]
     stash = tuple(out[4:])
     return (feat_int, bga[..., 0], depth[..., 0], w), stash
@@ -264,6 +326,10 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
 
 def xla_reference(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
     """Pure-XLA twin of the kernel (same math; used for VJP + tests)."""
+    if dims.embed_in_kernel:
+        from gazenerf_tpu.ops.embedding import positional_encoding
+
+        embed = positional_encoding(embed, dims.n_freqs, include_input=True)
     p = _split_params(params, dims)
     bf = jnp.bfloat16
     f32 = jnp.float32

@@ -28,7 +28,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gazenerf_tpu.kernels.fused_field import FieldDims, _split_params, compiler_params
+from gazenerf_tpu.kernels.fused_field import (
+    FieldDims,
+    _embed_bwd_tile,
+    _embed_tile,
+    _split_params,
+    compiler_params,
+)
 
 _EPS = 1e-10
 
@@ -78,7 +84,12 @@ def _bwd_kernel(dims: FieldDims):
             )
 
         # ---------- forward activations: read the stash, or recompute ----------
-        embed = embed_ref[0].reshape(N, De).astype(bf)
+        if dims.embed_in_kernel:
+            pts = embed_ref[0].reshape(N, 3)
+            embed_f32 = _embed_tile(pts, dims)
+            embed = embed_f32.astype(bf)
+        else:
+            embed = embed_ref[0].reshape(N, De).astype(bf)
 
         if stash_refs:
             # forward stashed x0..x7, y0b, y1 in HBM (bf16); only the two
@@ -209,7 +220,10 @@ def _bwd_kernel(dims: FieldDims):
         acc(dcb0_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
         dembed_acc = dembed_acc + dgrad(dpre, W0e_ref[...])
 
-        dembed_ref[0] = dembed_acc.reshape(TR, S, De)
+        if dims.embed_in_kernel:
+            dembed_ref[0] = _embed_bwd_tile(pts, dembed_acc, dims).reshape(TR, S, 3)
+        else:
+            dembed_ref[0] = dembed_acc.reshape(TR, S, De)
 
     return kernel
 
@@ -218,8 +232,13 @@ def pallas_backward(
     params: Dict, embed, sc, ac, zvals, zdists, dims: FieldDims, g, stash=()
 ):
     """Run the backward kernel; returns cotangents for
-    ``(params, embed, sc, ac, zvals, zdists)``."""
-    B, R, S, De = embed.shape
+    ``(params, embed, sc, ac, zvals, zdists)``.
+
+    ``embed`` is the raw sample-point tensor [B,R,S,3] when
+    ``dims.embed_in_kernel`` (its cotangent ``dpts`` comes straight out of
+    the kernel); otherwise the precomputed [B,R,S,De] encoding."""
+    B, R, S, Din = embed.shape
+    De = dims.embed
     TR = dims.tile_rays
     H, C = dims.hidden, dims.feat
     H2 = H // 2
@@ -255,7 +274,7 @@ def pallas_backward(
         return pl.BlockSpec(shape, lambda b, r: (0,) * len(shape), memory_space=vm)
 
     out_shapes = [
-        jax.ShapeDtypeStruct((B, R, S, De), f32),  # dembed
+        jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed (dpts if fused)
         jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
         jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
         jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
@@ -275,7 +294,7 @@ def pallas_backward(
         jax.ShapeDtypeStruct((C,), f32),  # dbr2
     ]
     out_specs = [
-        tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+        tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
         tile((1, TR, S), lambda b, r: (b, r, 0)),
         tile((1, TR, S), lambda b, r: (b, r, 0)),
         pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
@@ -304,7 +323,7 @@ def pallas_backward(
         _bwd_kernel(dims),
         grid=grid,
         in_specs=[
-            tile((1, TR, S, De), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
             tile((1, TR, S), lambda b, r: (b, r, 0)),
             tile((1, TR, S), lambda b, r: (b, r, 0)),
             const(cb0), const(cb5), const(cbr1),
@@ -322,7 +341,8 @@ def pallas_backward(
         interpret=dims.interpret,
         compiler_params=compiler_params(dims),
     )(
-        embed.astype(bf), zvals, zdists, cb0, cb5, cbr1, *weights,
+        embed if dims.embed_in_kernel else embed.astype(bf),
+        zvals, zdists, cb0, cb5, cbr1, *weights,
         gfeat, gbga3, gdepth3, gw, *stash,
     )
 

@@ -143,11 +143,24 @@ class GazeNeRF(nn.Module):
         embed_vd: jnp.ndarray = None,
     ):
         """Field evaluation + volume integration for one stream."""
+        cfg = self.cfg
         if embed_vd is None:
             dims = self._fused_dims(embed)
             if dims is not None:
+                x_in = embed
+                if (
+                    cfg.pallas_fuse_embed
+                    and cfg.include_input_vp
+                    and cfg.vp_embed_dims == 3 + 6 * cfg.vp_n_freqs
+                ):
+                    # feed raw points; the kernel encodes in VMEM (the embed
+                    # computed above is unused here and DCE'd by XLA)
+                    dims = dims._replace(
+                        embed_in_kernel=True, n_freqs=cfg.vp_n_freqs
+                    )
+                    x_in = samples.pts
                 feat_int, bg_alpha, depth, w = field.fused_render(
-                    embed, shape_ext_code, appea_code,
+                    x_in, shape_ext_code, appea_code,
                     samples.zvals, samples.z_dists, dims,
                 )
                 from gazenerf_tpu.ops.integrate import Integrated

@@ -16,6 +16,7 @@ from gazenerf_tpu.eval.protocols import (
     evaluate_consistency,
     evaluate_gaze_transfer,
     evaluate_input_target_images,
+    evaluate_personal_calibration,
 )
 from gazenerf_tpu.eval.render_loops import RenderLoops, gaze_sweep_trajectory
 from gazenerf_tpu.train.trainer import Trainer
@@ -150,9 +151,65 @@ def test_input_target_protocol(setup):
 
 def test_consistency_protocol(setup):
     cfg, tr, ctx, batches = setup
-    res = evaluate_consistency(ctx, batches[:1], pitch_shifts_deg=(10.0,))
-    assert "shift_10deg_response" in res
-    assert np.isfinite(res["shift_10deg_response"])
+    # reference shape: fit on batches[fit_index], measure every OTHER frame
+    res = evaluate_consistency(ctx, batches[:3], pitch_shifts_deg=(10.0,))
+    assert "shift_10deg_pitch_response_deg" in res
+    assert "shift_10deg_yaw_response_deg" in res
+    assert np.isfinite(res["shift_10deg_pitch_response_deg"])
+
+
+def test_evaluate_metrics_cli_val_sweep(tmp_path, monkeypatch, capsys):
+    """The eval CLI sweeps every subject of the val split (reference
+    evaluate_metrics loops the val keys of each dataset —
+    utils/metrics_utils.py:137-220) and reports per-subject + overall."""
+    import dataclasses
+    import json as _json
+
+    from gazenerf_tpu.cli import evaluate_metrics as EM
+
+    d = tmp_path / "data"
+    write_synthetic_subject(str(d), num_frames=3, img_size=64,
+                            subject="subject0000.h5")
+    write_synthetic_subject(str(d), num_frames=3, img_size=64, seed=1,
+                            subject="subject0001.h5")
+    (d / "train_test_split.json").write_text(
+        _json.dumps({"train": [], "val": ["subject0000.h5", "subject0001.h5"]})
+    )
+
+    def tiny_from_args(args):
+        cfg = tiny_config()
+        return dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, img_dir=args.img_dir)
+        )
+
+    monkeypatch.setattr(EM, "config_from_args", tiny_from_args)
+    rc = EM.main([
+        "--img_dir", str(d), "--evaluation_type", "consistency",
+        "--max_pairs", "2", "--fit_steps", "2",
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert set(out["per_subject"]) == {"subject0000.h5", "subject0001.h5"}
+    assert np.isfinite(list(out["overall"].values())).all()
+
+
+def test_personal_calibration_protocol(setup, tmp_path):
+    import h5py
+
+    cfg, tr, ctx, batches = setup
+    out_path = str(tmp_path / "subj_nsample_1_iter_0.h5")
+    res = evaluate_personal_calibration(
+        ctx, batches[:3], fit_indices=[0], out_h5_path=out_path
+    )
+    # reference schema: face_patch uint8 (N,224,224,3), lzf, per-frame chunks
+    # (utils/metrics_utils.py:507-514)
+    assert res["num_frames"] == 3
+    with h5py.File(out_path) as f:
+        d = f["face_patch"]
+        assert d.shape == (3, 224, 224, 3)
+        assert d.dtype == np.uint8
+        assert d.chunks == (1, 224, 224, 3)
+        assert np.asarray(d[1]).any()
 
 
 def test_gaze_transfer_protocol(setup):

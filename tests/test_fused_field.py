@@ -145,6 +145,39 @@ def test_stash_acts_backward_matches_recompute(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_embed_in_kernel_matches_precomputed(rng):
+    """embed_in_kernel=True (raw pts in, dpts out) == precomputed-embed path
+    for both outputs and gradients (incl. the pts cotangent vs XLA autodiff
+    through positional_encoding)."""
+    from gazenerf_tpu.ops.embedding import positional_encoding
+
+    n_freqs = 10
+    De = 3 + 6 * n_freqs
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8, De=De)
+    _, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, n_freqs=n_freqs)
+    pts = jnp.asarray(rng.standard_normal((2, 32, 8, 3)).astype(np.float32))
+
+    def loss_pre(params, pts, sc, ac):
+        emb = positional_encoding(pts, n_freqs, include_input=True)
+        f, bga, dep, w = fused_field_render(params, emb, sc, ac, zvals, zdists, dims)
+        return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+    dimsk = dims._replace(embed_in_kernel=True)
+
+    def loss_fused(params, pts, sc, ac):
+        f, bga, dep, w = fused_field_render(params, pts, sc, ac, zvals, zdists, dimsk)
+        return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+    l_pre, g_pre = jax.value_and_grad(loss_pre, argnums=(0, 1, 2, 3))(params, pts, sc, ac)
+    l_fu, g_fu = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(params, pts, sc, ac)
+    np.testing.assert_allclose(float(l_pre), float(l_fu), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_fu)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3
+        )
+
+
 def test_model_fused_path_matches_xla(rng):
     """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
     from gazenerf_tpu.config import ModelConfig
