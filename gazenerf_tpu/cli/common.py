@@ -50,6 +50,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vgg_importance", type=float, default=1.0)
     p.add_argument("--hier_sampling", type=str2bool, default=False)
     p.add_argument("--include_vd", type=str2bool, default=False)
+    p.add_argument("--vgg_ckpt", type=str, default="",
+                   help="torchvision VGG16 checkpoint: transplanted into the "
+                        "frozen perceptual loss (training) and exact LPIPS "
+                        "(eval) — reference losses/gazenerf_loss.py:49-52")
+    p.add_argument("--gaze_ckpt", type=str, default="",
+                   help="gaze-VGG checkpoint for the angular loss "
+                        "(reference losses/gazenerf_loss.py:110-117)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--renderer_dtype", type=str, default="bfloat16",
@@ -109,6 +116,8 @@ def config_from_args(args) -> Config:
             use_l1_loss=args.use_l1_loss,
             use_angular_loss=args.use_angular_loss,
             use_patch_gan_loss=args.use_patch_gan_loss,
+            vgg_ckpt=getattr(args, "vgg_ckpt", ""),
+            gaze_ckpt=getattr(args, "gaze_ckpt", ""),
         ),
         train=TrainConfig(
             lr=args.lr,

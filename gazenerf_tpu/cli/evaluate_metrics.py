@@ -174,8 +174,7 @@ def main(argv=None) -> int:
                    help="torch RetinaFace checkpoint")
     p.add_argument("--identity_aligner_ckpt", type=str, default="",
                    help="torch PFLD checkpoint")
-    p.add_argument("--vgg_ckpt", type=str, default="",
-                   help="torchvision VGG16 checkpoint (exact LPIPS)")
+    # --vgg_ckpt comes from add_common_args (shared torchvision VGG16 weights)
     p.add_argument("--lpips_lin_ckpt", type=str, default="",
                    help="LPIPS linear-head weights")
     p.add_argument("--inception_ckpt", type=str, default="",

@@ -166,6 +166,11 @@ class LossConfig:
     eye_loss_importance: float = 25.0
     vgg_importance: float = 1.0
     use_vgg_loss: bool = True
+    # pretrained frozen-net checkpoints for the loss stack (reference loads
+    # torchvision VGG16 + the gaze-VGG ckpt, losses/gazenerf_loss.py:49-52,
+    # 110-117); empty = random init (tests only)
+    vgg_ckpt: str = ""
+    gaze_ckpt: str = ""
     use_l1_loss: bool = False
     use_angular_loss: bool = False
     use_patch_gan_loss: bool = False

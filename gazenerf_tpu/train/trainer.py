@@ -97,12 +97,26 @@ def compose_codes_and_cams(
     return shape_code, appea_code, gaze_code, Rmats, Tvecs, inv_inmats, opt_code_dict, delta_cam
 
 
+def _torch_sd(path: str):
+    """Load a torch checkpoint into a numpy state dict (reference stores the
+    gaze-VGG under ``model_state`` — losses/gazenerf_loss.py:113-117)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict):
+        sd = sd.get("model_state", sd.get("state_dict", sd))
+    return {k.replace("module.", ""): v.numpy() for k, v in sd.items()}
+
+
 class FrozenNets:
     """Frozen perceptual nets (VGG16 blocks, gaze estimator) + their params.
 
-    Params default to random init (architecture-faithful); transplant real
-    weights with utils.transplant/models.vgg loaders for numeric parity with
-    the reference's pretrained checkpoints.
+    The reference training loads pretrained torchvision VGG16 and the
+    gaze-VGG checkpoint into its loss stack (reference
+    losses/gazenerf_loss.py:49-52,110-117); pass ``cfg.loss.vgg_ckpt`` /
+    ``cfg.loss.gaze_ckpt`` to transplant the same weights here.  Without
+    checkpoints the nets are random-initialized (architecture-faithful but
+    numerically meaningless for a real training run — tests only).
     """
 
     def __init__(self, cfg: Config, rng: jax.Array):
@@ -113,12 +127,26 @@ class FrozenNets:
         self.gaze_params = None
         if cfg.loss.use_vgg_loss:
             self.vgg = VGG16Features()
-            k = jax.random.normal(rng, (1, 224, 224, 3))
-            self.vgg_params = jax.jit(self.vgg.init)(rng, k)
+            if cfg.loss.vgg_ckpt:
+                from gazenerf_tpu.models.vgg import vgg_features_from_torch
+
+                self.vgg_params = {
+                    "params": vgg_features_from_torch(_torch_sd(cfg.loss.vgg_ckpt))
+                }
+            else:
+                k = jax.random.normal(rng, (1, 224, 224, 3))
+                self.vgg_params = jax.jit(self.vgg.init)(rng, k)
         if cfg.loss.use_angular_loss:
             self.gaze = GazeVGG()
-            k = jax.random.normal(rng, (1, 224, 224, 3))
-            self.gaze_params = jax.jit(self.gaze.init)(rng, k)
+            if cfg.loss.gaze_ckpt:
+                from gazenerf_tpu.models.vgg import gaze_vgg_from_torch
+
+                self.gaze_params = {
+                    "params": gaze_vgg_from_torch(_torch_sd(cfg.loss.gaze_ckpt))
+                }
+            else:
+                k = jax.random.normal(rng, (1, 224, 224, 3))
+                self.gaze_params = jax.jit(self.gaze.init)(rng, k)
 
     def vgg_capture_fn(self):
         if self.vgg is None:

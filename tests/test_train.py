@@ -141,6 +141,68 @@ def test_vgg_loss_path(loader_and_ds):
     assert np.isfinite(out["loss"])
 
 
+def test_vgg_ckpt_transplant_into_training(loader_and_ds, tmp_path):
+    """cfg.loss.vgg_ckpt transplants real torchvision-layout VGG16 weights
+    into the TRAINING loss stack (reference loads pretrained VGG16 at
+    losses/gazenerf_loss.py:49-52): the perceptual-loss term computed through
+    the Trainer's FrozenNets equals a torch-composed oracle on one batch."""
+    import torch
+
+    from gazenerf_tpu.losses.gazenerf_loss import vgg_perceptual_distance
+    from gazenerf_tpu.models.vgg import PERCEPTUAL_CAPTURE, normalize_imagenet
+
+    sys_path = str(tmp_path / "vgg16.pth")
+    from tests.test_metrics_backends import make_torch_vgg16_features
+
+    tvgg = make_torch_vgg16_features(seed=11)
+    torch.save(
+        {f"features.{k}": v for k, v in tvgg.state_dict().items()}, sys_path
+    )
+
+    loader, ds = loader_and_ds
+    cfg = Config(
+        model=tiny_config().model,
+        loss=LossConfig(use_vgg_loss=True, vgg_ckpt=sys_path),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+
+    rng = np.random.default_rng(12)
+    a = rng.random((1, 224, 224, 3), np.float32)
+    b = rng.random((1, 224, 224, 3), np.float32)
+    got = float(
+        vgg_perceptual_distance(
+            tr.frozen.vgg_capture_fn(),
+            normalize_imagenet(jnp.asarray(a)),
+            normalize_imagenet(jnp.asarray(b)),
+        )
+    )
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def torch_caps(x):
+        t = torch.from_numpy(((x - mean) / std).transpose(0, 3, 1, 2))
+        caps, conv_i = [], -1
+        with torch.no_grad():
+            for layer in tvgg:
+                t = layer(t)
+                if isinstance(layer, torch.nn.Conv2d):
+                    conv_i += 1
+                elif isinstance(layer, torch.nn.ReLU) and conv_i in PERCEPTUAL_CAPTURE:
+                    caps.append(t.numpy())
+        return caps
+
+    want = sum(
+        float(np.abs(x - y).mean()) for x, y in zip(torch_caps(a), torch_caps(b))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    # and a full train step with the transplanted stack stays finite
+    out = tr.train_epoch(loader, 0)
+    assert np.isfinite(out["loss"])
+
+
 def test_patch_gan_path(loader_and_ds):
     """GAN path: discriminator updates + generator warm-up loss."""
     loader, ds = loader_and_ds
