@@ -37,12 +37,24 @@ DEFAULT_FACE_MODEL = np.array(
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Preprocess raw frames -> training h5")
     p.add_argument("--frames_dir", type=str, required=True,
-                   help="directory of raw frames (png/jpg)")
+                   help="flat layout: directory of raw frames (png/jpg); "
+                        "xgaze layout: the subject directory of frameNNNN "
+                        "folders")
     p.add_argument("--out", type=str, required=True, help="output h5 path")
     p.add_argument("--dataset", type=str, default="eth_xgaze")
+    p.add_argument("--layout", type=str, default="flat",
+                   choices=["flat", "xgaze"],
+                   help="raw-data layout: 'xgaze' = frameNNNN/*camCC.JPG "
+                        "dirs + per-subject CSV + per-camera xml calibration "
+                        "(reference dataset_pre_processing.py:80-445); "
+                        "'flat' = one folder of frames, one camera")
+    p.add_argument("--annotation_csv", type=str, default="",
+                   help="xgaze layout: subjectNNNN.csv with gaze + head pose")
+    p.add_argument("--cam_calib_dir", type=str, default="",
+                   help="xgaze layout: directory of camNN.xml calibrations")
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--focal", type=float, default=1200.0,
-                   help="raw-camera focal length (px)")
+                   help="flat layout: raw-camera focal length (px)")
     p.add_argument("--face_model", type=str, default="",
                    help="path to a 6-point 3D face model txt")
     p.add_argument("--basis_npz", type=str, default="",
@@ -65,21 +77,38 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
-    frames = sorted(
-        glob.glob(os.path.join(args.frames_dir, "*.png"))
-        + glob.glob(os.path.join(args.frames_dir, "*.jpg"))
-    )
-    if not frames:
-        logger.error("no frames in %s", args.frames_dir)
-        return 1
+    records = None
+    if args.layout == "xgaze":
+        if not args.cam_calib_dir:
+            logger.error("--layout xgaze requires --cam_calib_dir")
+            return 1
+        from gazenerf_tpu.data.cameras import load_camera_calibrations
+        from gazenerf_tpu.preprocess.enumerate import iter_xgaze_subject
 
-    import cv2
+        cams = load_camera_calibrations("eth_xgaze", args.cam_calib_dir)
+        records = iter_xgaze_subject(
+            args.frames_dir, args.annotation_csv, cams
+        )
+        if not records:
+            logger.error("no frames enumerated under %s", args.frames_dir)
+            return 1
+        K = None
+    else:
+        frames = sorted(
+            glob.glob(os.path.join(args.frames_dir, "*.png"))
+            + glob.glob(os.path.join(args.frames_dir, "*.jpg"))
+        )
+        if not frames:
+            logger.error("no frames in %s", args.frames_dir)
+            return 1
 
-    probe = cv2.imread(frames[0])
-    h, w = probe.shape[:2]
-    K = np.array(
-        [[args.focal, 0, w / 2], [0, args.focal, h / 2], [0, 0, 1]], np.float64
-    )
+        import cv2
+
+        probe = cv2.imread(frames[0])
+        h, w = probe.shape[:2]
+        K = np.array(
+            [[args.focal, 0, w / 2], [0, args.focal, h / 2], [0, 0, 1]], np.float64
+        )
     face_model = (
         np.loadtxt(args.face_model) if args.face_model else DEFAULT_FACE_MODEL
     )
@@ -129,13 +158,22 @@ def main(argv=None) -> int:
             decoder_params=decoder_params,
         )
 
-    from gazenerf_tpu.preprocess.driver import process_subject
+    if records is not None:
+        from gazenerf_tpu.preprocess.driver import process_subject_records
 
-    out = process_subject(
-        frames, args.out, K, face_model, fitter=fitter,
-        img_size=args.img_size, dataset=args.dataset,
-        qa_dir=args.qa_render_dir or None,
-    )
+        out = process_subject_records(
+            records, args.out, face_model, fitter=fitter,
+            img_size=args.img_size, dataset=args.dataset,
+            qa_dir=args.qa_render_dir or None,
+        )
+    else:
+        from gazenerf_tpu.preprocess.driver import process_subject
+
+        out = process_subject(
+            frames, args.out, K, face_model, fitter=fitter,
+            img_size=args.img_size, dataset=args.dataset,
+            qa_dir=args.qa_render_dir or None,
+        )
     logger.info("done -> %s", out)
     return 0
 

@@ -162,8 +162,9 @@ def _bwd_kernel(dims: FieldDims):
         dzdists_ref[0] = ddists
 
         # ---------- head backward ----------
-        # data-gradient matmuls in f32 (A/B'd EQUAL to bf16 at TR=8 and
-        # TR=32 on v5e — keep the extra precision; PERF_NOTES rounds 2-3)
+        # data-gradient matmuls in f32: A/B'd EQUAL to bf16 in the recompute
+        # bwd (TR=8/32, round 2) AND in the stash bwd (99.7 vs 99.2, round 3)
+        # — the kernel is not MXU-dtype-bound; keep the extra precision
         def dgrad(g, w):  # g @ w^T, f32 accumulate
             return dense_t(g.astype(f32), w.astype(f32))
 

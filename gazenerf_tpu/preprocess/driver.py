@@ -91,14 +91,37 @@ def process_frame(
     img_size: int = 512,
     dataset: str = "eth_xgaze",
     dist_coeffs: Optional[np.ndarray] = None,
+    head_pose: Optional[tuple] = None,
+    undistort: bool = False,
+    rotate180: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Full per-frame pipeline -> one h5 row (minus the fitted code)."""
+    """Full per-frame pipeline -> one h5 row (minus the fitted code).
+
+    ``head_pose``: known (rvec, tvec) from the dataset annotations — the
+    reference's ETH-XGaze path takes the pose from the per-subject CSV and
+    never runs solvePnP (pre_processing/data_process.py:173-186); other
+    datasets estimate it from detected landmarks.
+    ``undistort``/``rotate180``: the reference's per-camera raw-image fixes
+    (undistort with the camera calibration, 180-degree rotation for the
+    upside-down cameras 03/06/13 — data_process.py:160-168).
+    """
     focal, dist = NORMALIZATION_PRESETS.get(dataset, (1600.0, 680.0))
 
+    if undistort and dist_coeffs is not None:
+        img_bgr = cv2.undistort(img_bgr, camera_matrix, dist_coeffs)
+    if rotate180:
+        (h, w) = img_bgr.shape[:2]
+        M = cv2.getRotationMatrix2D((w / 2, h / 2), 180, 1.0)
+        img_bgr = cv2.warpAffine(img_bgr, M, (w, h))
+
     lm_full = landmark_detector(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB))
-    rvec, tvec = estimate_head_pose(
-        lm_full[FACE_MODEL_LM68], face_model_3d, camera_matrix, dist_coeffs
-    )
+    if head_pose is not None:
+        rvec = np.asarray(head_pose[0], np.float64).reshape(3, 1)
+        tvec = np.asarray(head_pose[1], np.float64).reshape(3, 1)
+    else:
+        rvec, tvec = estimate_head_pose(
+            lm_full[FACE_MODEL_LM68], face_model_3d, camera_matrix, dist_coeffs
+        )
     warped, R_norm, W = normalize_face(
         img_bgr, face_model_3d, rvec, tvec, camera_matrix,
         img_dim=img_size, focal_norm=focal, distance_norm=dist,
@@ -174,17 +197,22 @@ def process_frame(
     }
 
 
-def process_subject(
-    frame_paths: List[str],
+def process_subject_records(
+    records,
     out_path: str,
-    camera_matrix: np.ndarray,
     face_model_3d: np.ndarray,
     fitter=None,
     img_size: int = 512,
     dataset: str = "eth_xgaze",
     qa_dir: Optional[str] = None,
 ) -> str:
-    """Process a subject's frames into one h5; optional NL-3DMM fitting.
+    """Process enumerated :class:`~gazenerf_tpu.preprocess.enumerate.FrameRecord`
+    rows into one per-subject h5; optional NL-3DMM fitting.
+
+    This is the layout-driven path (reference
+    dataset_pre_processing.py:80-445): camera identity, calibration,
+    undistortion, upside-down-camera rotation and the CSV head pose all come
+    from the record, not from file order.
 
     ``qa_dir``: write fitted-mesh-vs-frame side-by-side renders there (the
     reference's fit-QA loop, surface_fitting/nl3dmm/gen_nl3dmm_render_res.py:18).
@@ -192,14 +220,19 @@ def process_subject(
     det = LandmarkDetector()
     writer = SubjectWriter(out_path, img_size)
     rows = []
-    for i, p in enumerate(frame_paths):
-        img = cv2.imread(p)
+    for rec in records:
+        img = cv2.imread(rec.image_path)
         if img is None:
-            logger.warning("unreadable frame %s; skipping", p)
+            logger.warning("unreadable frame %s; skipping", rec.image_path)
             continue
         row = process_frame(
-            img, camera_matrix, face_model_3d, det,
-            cam_index=i % 18, img_size=img_size, dataset=dataset,
+            img, rec.camera_matrix, face_model_3d, det,
+            cam_index=rec.cam_index, img_size=img_size, dataset=dataset,
+            dist_coeffs=rec.distortion,
+            gaze_vector=rec.gaze_3d,
+            head_pose=(rec.hr, rec.ht) if rec.hr is not None else None,
+            undistort=rec.distortion is not None and np.any(rec.distortion),
+            rotate180=rec.rotate180,
         )
         rows.append(row)
 
@@ -244,3 +277,36 @@ def process_subject(
     writer.close()
     logger.info("wrote %d frames -> %s", len(rows), out_path)
     return out_path
+
+
+def process_subject(
+    frame_paths: List[str],
+    out_path: str,
+    camera_matrix: np.ndarray,
+    face_model_3d: np.ndarray,
+    fitter=None,
+    img_size: int = 512,
+    dataset: str = "eth_xgaze",
+    qa_dir: Optional[str] = None,
+) -> str:
+    """Flat-list convenience wrapper: one shared camera, no annotations
+    (Columbia/GazeCapture-style single-camera layouts — reference
+    dataset_pre_processing.py:816,1083).  For the real ETH-XGaze layout use
+    :func:`gazenerf_tpu.preprocess.enumerate.iter_xgaze_subject` +
+    :func:`process_subject_records`."""
+    from gazenerf_tpu.preprocess.enumerate import FrameRecord
+
+    records = [
+        FrameRecord(
+            image_path=p,
+            frame_name=os.path.splitext(os.path.basename(p))[0],
+            cam_index=0,
+            camera_matrix=np.asarray(camera_matrix, np.float64),
+            distortion=np.zeros((5, 1)),
+        )
+        for p in frame_paths
+    ]
+    return process_subject_records(
+        records, out_path, face_model_3d, fitter=fitter,
+        img_size=img_size, dataset=dataset, qa_dir=qa_dir,
+    )

@@ -365,3 +365,90 @@ def test_bisenet_torch_parity():
     want = want.numpy().transpose(0, 2, 3, 1)
     assert got.shape == want.shape == (1, 64, 64, 19)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-2)
+
+
+def test_xgaze_layout_roundtrip(tmp_path):
+    """A synthetic ETH-XGaze raw layout (frameNNNN/*camCC.JPG dirs +
+    per-subject CSV + per-camera xml calibration) round-trips through the
+    layout-driven driver into a trainer-readable h5 with correct per-camera
+    indices, CSV head poses and upside-down-camera rotation (VERDICT round-2
+    item: replaces cam_index = i % 18; reference
+    dataset_pre_processing.py:80-445, pre_processing/data_process.py:107-192).
+    """
+    import cv2
+    import h5py
+
+    from gazenerf_tpu.cli.preprocess import DEFAULT_FACE_MODEL
+    from gazenerf_tpu.data.cameras import load_camera_calibrations
+    from gazenerf_tpu.data.h5_dataset import GazeH5Dataset
+    from gazenerf_tpu.preprocess.driver import process_subject_records
+    from gazenerf_tpu.preprocess.enumerate import iter_xgaze_subject
+
+    rng = np.random.default_rng(0)
+    subj = tmp_path / "subject0000"
+    calib = tmp_path / "calib"
+    calib.mkdir()
+
+    # 18 camera calibrations (only 3 used); zero distortion
+    for c in range(18):
+        fs = cv2.FileStorage(
+            str(calib / f"cam{c:02d}.xml"), cv2.FILE_STORAGE_WRITE
+        )
+        K = np.array([[600.0, 0, 120.0], [0, 600.0, 120.0], [0, 0, 1.0]])
+        fs.write("Camera_Matrix", K)
+        fs.write("Distortion_Coefficients", np.zeros((4, 1)))
+        fs.write("cam_translation", np.zeros((3, 1)))
+        fs.write("cam_rotation", np.eye(3))
+        fs.release()
+
+    # 2 frames x cams (02, 03, 07); cam03 is in the rotated set
+    cams_used = [2, 3, 7]
+    csv_rows = []
+    marker = {}
+    for f in range(2):
+        fdir = subj / f"frame{f:04d}"
+        fdir.mkdir(parents=True)
+        for c in cams_used:
+            img = (rng.random((240, 240, 3)) * 255).astype(np.uint8)
+            img[:8, :8] = 255  # corner marker to detect the 180-deg rotation
+            img[-8:, -8:] = 0
+            name = f"frame{f:04d}_cam{c:02d}.JPG"
+            cv2.imwrite(str(fdir / name), img)
+            marker[(f, c)] = img
+            hr = [0.01 * c, -0.02, 0.03]
+            ht = [0.0, 0.0, 580.0]
+            gaze3 = [0.05, -0.02, -0.99]
+            csv_rows.append(
+                [f"frame{f:04d}", name, "0.1", "-0.2"]
+                + [str(v) for v in gaze3 + hr + ht]
+            )
+    csv_path = tmp_path / "subject0000.csv"
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(",".join(r) for r in csv_rows))
+
+    cams = load_camera_calibrations("eth_xgaze", str(calib))
+    records = iter_xgaze_subject(str(subj), str(csv_path), cams)
+    assert len(records) == 6
+    assert [r.cam_index for r in records[:3]] == cams_used
+    assert records[1].rotate180 and not records[0].rotate180
+    # CSV pose flowed into the record
+    np.testing.assert_allclose(records[1].hr.ravel(), [0.03, -0.02, 0.03])
+
+    out = str(tmp_path / "xgaze_subject0000.h5")
+    process_subject_records(
+        records, out, DEFAULT_FACE_MODEL, fitter=None, img_size=64
+    )
+    with h5py.File(out) as h:
+        assert h["face_patch"].shape == (6, 64, 64, 3)
+        np.testing.assert_array_equal(
+            h["cam_index"][:].ravel(), cams_used * 2
+        )
+        assert np.isfinite(h["pitchyaw_head"][:]).all()
+        # gaze label flowed through (nonzero head-coordinate pitchyaw)
+        assert np.abs(h["pitchyaw_head"][:]).max() > 0
+
+    # and the trainer-side dataset reads it
+    ds = GazeH5Dataset(str(tmp_path), subjects=["subject0000.h5"], shuffle=False)
+    s = ds[1]
+    assert int(s["cam_index"]) == 3
+    assert s["image"].shape == (64, 64, 3)

@@ -34,6 +34,9 @@ def main():
         renderer_dtype="bfloat16",
         remat_fields=False,
         use_pallas=True,
+        pallas_stash_acts=True,
+        pallas_bwd_tile_rays=16,
+        pallas_vmem_mb=100,
     )
     mc.update(overrides)
     cfg = Config(
