@@ -89,12 +89,43 @@ def main():
     lowered = tr.train_step.lower(state_sds, batch_sds)
     print("compiling (AOT, topology client) ...", flush=True)
     compiled = lowered.compile()
-    txt = compiled.as_text()
-    analyze(txt, n)
+    analyze(compiled.as_text(), n, label="default flags")
+    # the latency-hiding scheduler + async collectives may be off in AOT
+    # compiles; compare with them forced on (the runtime defaults on real
+    # slices) to separate "XLA can't overlap this" from "flag was off"
+    print("\ncompiling with latency-hiding scheduler forced on ...", flush=True)
+    try:
+        compiled2 = lowered.compile(
+            compiler_options={
+                "xla_tpu_enable_latency_hiding_scheduler": "true",
+                "xla_enable_async_all_reduce": "true",
+                "xla_enable_async_all_gather": "true",
+            }
+        )
+        analyze(compiled2.as_text(), n, label="LHS forced on")
+    except Exception as e:  # pragma: no cover - flag support varies
+        print("LHS compile failed:", str(e)[:300])
 
 
-def analyze(txt: str, n_devices: int):
+def _line_bytes(ln: str) -> int:
+    """Approximate payload bytes of an HLO op line from its result shapes."""
+    lhs = ln.split("=", 1)[0] + "=" + ln.split("=", 1)[1].split("(", 1)[0]
+    # shapes appear in the result tuple before the op name; parse all in line
+    # up to the first operand paren of the collective itself
+    head = ln.split("all-reduce(")[0].split("all-gather(")[0]
+    total = 0
+    for dt, dims in re.findall(r"(bf16|f32|f64|s32|u32|s8|u8)\[([0-9,]*)\]", head):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * {"bf16": 2, "s8": 1, "u8": 1}.get(dt, 4)
+    return total
+
+
+def analyze(txt: str, n_devices: int, label: str = ""):
     """Parse the scheduled optimized HLO for collective overlap."""
+    print(f"\n#### schedule analysis ({label}) ####")
     lines = txt.splitlines()
     # collect (index, kind, name, shape) of collective start/done ops
     starts, dones = {}, {}
@@ -126,9 +157,16 @@ def analyze(txt: str, n_devices: int):
     ]
     print(f"\n== collectives in the scheduled module ({n_devices} chips) ==")
     total, overlapped = 0, 0
+    n_lines = max(len(lines), 1)
+    sync_bytes = 0
     for name, (i0, kind, snippet) in sorted(starts.items(), key=lambda kv: kv[1][0]):
         if "(sync)" in kind:
-            print(f"  [SYNC] line {i0}: {snippet}")
+            b = _line_bytes(lines[i0])
+            sync_bytes += b
+            print(
+                f"  [SYNC] line {i0} ({100 * i0 // n_lines}% of schedule) "
+                f"{b / 1e6:7.2f} MB: {snippet[:80]}"
+            )
             total += 1
             continue
         # find the -done consuming this start
@@ -149,6 +187,15 @@ def analyze(txt: str, n_devices: int):
     print(
         f"\n{overlapped}/{total} async collectives have compute scheduled "
         f"between start and done (0 in-flight = serialized)."
+    )
+    # exposed-cost estimate for the synchronous ones: bidirectional-ring
+    # all-reduce moves 2*(n-1)/n of the payload over ICI (v5e ~ 180 GB/s
+    # effective per link direction)
+    ici = 180e9
+    est_us = sync_bytes * 2 * (n_devices - 1) / n_devices / ici * 1e6
+    print(
+        f"sync-collective payload {sync_bytes / 1e6:.1f} MB -> ~{est_us:.0f} us "
+        f"exposed per step if fully serialized."
     )
 
 
