@@ -89,6 +89,31 @@ def main():
 
     rays = B * cfg.model.featmap_size**2
     rays_per_sec = rays / dt
+
+    # loader-fed phase: fresh batches through BatchLoader + device_prefetch
+    # + real H2D transfers feeding dispatched steps (the integrated input-
+    # pipeline number; tools/bench_loader.py measures the loader alone)
+    from gazenerf_tpu.data.h5_dataset import device_prefetch
+
+    write_synthetic_subject(d, num_frames=32, img_size=cfg.model.pred_img_size,
+                            subject="subject0001.h5", seed=1)
+    ds2 = GazeH5Dataset(d, shuffle=False)
+    loader = BatchLoader(ds2, batch_size=B, num_workers=4, prefetch=3)
+    # steps_per_epoch independent of len: reuse trainer state, 1 step per batch
+    step1 = tr.train_step
+    state2 = tr.state
+    # warm epoch (page cache + compile already done above)
+    for b2 in device_prefetch(loader):
+        state2, l2 = step1(state2, b2)
+    jax.block_until_ready(l2["total_loss"])
+    t0 = time.time()
+    n_steps = 0
+    for b2 in device_prefetch(loader):
+        state2, l2 = step1(state2, b2)
+        n_steps += 1
+    np.asarray(l2["total_loss"])
+    loader_fed = rays * n_steps / (time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -96,6 +121,7 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s (fwd+bwd, B=2, 64 samples, 1 chip)",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                "loader_fed_rays_per_sec": round(loader_fed, 1),
             }
         )
     )

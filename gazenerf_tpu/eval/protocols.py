@@ -286,11 +286,12 @@ def _fid_of(ctx: EvalContext, gt_images, pred_images) -> Optional[float]:
     if ctx.fid_feats_fn is not None:
         return M.fid(ctx.fid_feats_fn, gt_images, pred_images)
     if ctx.feats_fn is not None:
+        # globally-average-pooled deepest VGG block (the GAP mirrors
+        # Inception pool3's spatial pooling; full flattening blows the
+        # covariance up to [HWC, HWC])
         def pool(imgs):
             fs = [ctx.feats_fn(jnp.asarray(im)[None])[-1] for im in imgs]
-            return np.stack(
-                [np.asarray(f).reshape(f.shape[0], -1).mean(0) for f in fs]
-            )
+            return np.stack([np.asarray(f).mean(axis=(0, 1, 2)) for f in fs])
 
         return M.frechet_distance(pool(pred_images), pool(gt_images))
     return None

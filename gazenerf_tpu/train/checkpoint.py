@@ -58,11 +58,47 @@ def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, Config
 
     ``template`` is an abstract/concrete TrainState with the target structure
     (shapes + shardings); restored arrays adopt its shardings.
+
+    Leading-dimension mismatches against the stored arrays (the per-sample
+    offset tables and their optimizer moments are sized by the TRAINING run's
+    ``train_len`` — reference trainer/gazenerf_trainer.py:407-423 — while
+    eval entry points build a ``train_len=1`` trainer) are resolved in favor
+    of the stored shape, so any checkpoint restores into any template.
     """
     with open(os.path.join(path, _CONFIG_FILE)) as f:
         meta = json.load(f)
     cfg = Config.from_json(json.dumps(meta["config"]))
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-    with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(os.path.join(path, _STATE_DIR), abstract)
+    state_path = os.path.join(path, _STATE_DIR)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(state_path, abstract)
+    except ValueError:
+        # template shapes disagree with the stored arrays: restore the
+        # raw tree (stored shapes win) and graft it back onto the
+        # template's pytree structure by key path
+        with ocp.StandardCheckpointer() as ckptr:
+            raw = ckptr.restore(state_path)
+        state = _graft_raw(raw, template)
     return state, cfg, meta["epoch"]
+
+
+def _graft_raw(raw, template):
+    """Map a raw (nested-dict) orbax restore onto ``template``'s structure."""
+    kp = jax.tree_util
+
+    def fetch(path):
+        node = raw
+        for p in path:
+            if isinstance(p, kp.GetAttrKey):
+                node = node[p.name]
+            elif isinstance(p, kp.DictKey):
+                node = node[p.key]
+            elif isinstance(p, kp.SequenceKey):
+                node = node[p.idx]
+            else:  # FlattenedIndexKey
+                node = node[p.key]
+        return node
+
+    flat, treedef = kp.tree_flatten_with_path(template)
+    return kp.tree_unflatten(treedef, [fetch(p) for p, _ in flat])

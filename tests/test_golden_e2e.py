@@ -1,0 +1,89 @@
+"""Golden end-to-end chain (VERDICT round-2 item 7): synthetic subjects ->
+train with transplanted frozen nets + GAN -> checkpoint -> restore ->
+input_target protocol -> finite metrics JSON, all in one process.
+
+Every stage exists and is unit-tested elsewhere; this test proves the WHOLE
+chain the way a user would run it (reference workflow: train.py ->
+evaluate_metrics.py --evaluation_type=input_target_images)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from gazenerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+from gazenerf_tpu.data.synthetic import write_synthetic_subject
+from gazenerf_tpu.eval.protocols import (
+    EvalContext,
+    evaluate_input_target_images,
+    split_target_batch,
+)
+from gazenerf_tpu.train.checkpoint import load_checkpoint
+from gazenerf_tpu.train.trainer import Trainer
+
+
+def test_golden_train_checkpoint_eval(tmp_path):
+    from tests.test_metrics_backends import make_torch_vgg16_features
+
+    # --- data: one synthetic subject, trainer-readable schema ---
+    data_dir = tmp_path / "data"
+    write_synthetic_subject(str(data_dir), num_frames=4, img_size=64)
+
+    # --- real frozen-net weights (random but torch-loaded, exercising the
+    #     transplant path the reference uses for pretrained VGG16) ---
+    vgg_path = str(tmp_path / "vgg16.pth")
+    tvgg = make_torch_vgg16_features(seed=21)
+    torch.save({f"features.{k}": v for k, v in tvgg.state_dict().items()}, vgg_path)
+
+    cfg = Config(
+        model=ModelConfig(
+            num_sample_coarse=8, featmap_size=16, pred_img_size=64,
+            mlp_hidden=32, use_pallas=False,
+        ),
+        loss=LossConfig(
+            use_vgg_loss=True, vgg_ckpt=vgg_path, use_patch_gan_loss=True,
+        ),
+        train=TrainConfig(batch_size=2, lr=1e-3),
+    )
+
+    # --- train 1 epoch with the full loss stack (VGG + GAN), checkpoint ---
+    ds = GazeH5Dataset(str(data_dir), shuffle=False)
+    loader = BatchLoader(ds, batch_size=2, num_workers=1)
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    ckpt_dir = str(tmp_path / "ckpt")
+    history = tr.fit(loader, num_epochs=1, checkpoint_dir=ckpt_dir)
+    assert np.isfinite(history[-1]["loss"])
+
+    # --- restore into a FRESH trainer (the eval entry path) ---
+    tr2 = Trainer(cfg, train_len=1, steps_per_epoch=1)
+    ckpt_path = os.path.join(ckpt_dir, "epoch_1")
+    state, cfg_loaded, epoch = load_checkpoint(ckpt_path, tr2.state)
+    assert epoch == 0
+    p0 = jnp.concatenate([x.ravel() for x in
+                          __import__("jax").tree_util.tree_leaves(tr.state.params)])
+    p1 = jnp.concatenate([x.ravel() for x in
+                          __import__("jax").tree_util.tree_leaves(state.params)])
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+    tr2.state = state
+
+    # --- input_target protocol on target-mode pairs from the same data ---
+    ds_t = GazeH5Dataset(str(data_dir), shuffle=False, evaluate="target")
+    loader_t = BatchLoader(ds_t, 1, num_workers=1, skip_invalid=False)
+    pairs = [split_target_batch(b) for _, b in zip(range(2), loader_t)]
+    ctx = EvalContext.build(
+        cfg, tr2.model, tr2.state, tr2.frozen, tr2.expr_fix, fit_steps=5
+    )
+    res = evaluate_input_target_images(ctx, pairs)
+
+    # --- finite, plausible metrics; JSON-serializable ---
+    for k in ("ssim", "psnr", "l1", "lpips"):
+        assert k in res and np.isfinite(res[k]), (k, res)
+    assert 0.0 < res["ssim"] <= 1.0
+    assert res["l1"] < 1.0
+    assert res["num_pairs"] == 2
+    json.dumps(res)
