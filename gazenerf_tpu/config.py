@@ -102,6 +102,11 @@ class ModelConfig:
     # is what blocked bwd_tile_rays>8 ("25.58M scoped vs 16M", PERF_NOTES
     # round 2).  0 = compiler default.
     pallas_vmem_mb: int = 0
+    # evaluate BOTH field branches (face + eyes) in ONE fused kernel per
+    # direction: the two 8-layer chains are independent, so the scheduler
+    # interleaves them to fill MXU pipeline gaps; shared-input cotangents
+    # (dembed/dzvals/dzdists) are summed in VMEM
+    pallas_dual_branch: bool = False
     # compute the positional encoding inside the fused field kernels (raw
     # sample points in, dpts cotangent out): the [B,R,S,63] embed/dembed
     # tensors never touch HBM and the XLA-side sin/cos+concat+layout chain

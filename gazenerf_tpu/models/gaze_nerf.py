@@ -177,6 +177,39 @@ class GazeNeRF(nn.Module):
         )
         return out
 
+    def _render_both(self, embed, shape_ext_code, appea_code, samples, embed_vd):
+        """Both streams; one dual-branch kernel when it applies (the two
+        independent field chains interleave on the MXU — kernels/fused_field2)."""
+        cfg = self.cfg
+        if embed_vd is None and cfg.pallas_dual_branch:
+            dims = self._fused_dims(embed)
+            if dims is not None:
+                from gazenerf_tpu.kernels.fused_field2 import fused_dual_render
+                from gazenerf_tpu.ops.integrate import Integrated
+
+                outs = fused_dual_render(
+                    dict(self.fg_CD_predictor_face.flat),
+                    dict(self.fg_CD_predictor_eyes.flat),
+                    embed, shape_ext_code, appea_code,
+                    samples.zvals, samples.z_dists, dims,
+                )
+                face, eyes = (
+                    Integrated(
+                        features=o[0], bg_alpha=o[1], depth=o[2], weights=o[3]
+                    )
+                    for o in outs
+                )
+                return face, eyes
+        face = self._render_branch(
+            self.fg_CD_predictor_face, embed, shape_ext_code, appea_code,
+            samples, embed_vd,
+        )
+        eyes = self._render_branch(
+            self.fg_CD_predictor_eyes, embed, shape_ext_code, appea_code,
+            samples, embed_vd,
+        )
+        return face, eyes
+
     def __call__(
         self,
         batch_xy: jnp.ndarray,
@@ -233,13 +266,8 @@ class GazeNeRF(nn.Module):
             [shape_code, gaze_code.reshape(B, 2)], axis=-1
         )
 
-        face = self._render_branch(
-            self.fg_CD_predictor_face, embed, shape_ext_code, appea_code,
-            samples, embed_vd,
-        )
-        eyes = self._render_branch(
-            self.fg_CD_predictor_eyes, embed, shape_ext_code, appea_code,
-            samples, embed_vd,
+        face, eyes = self._render_both(
+            embed, shape_ext_code, appea_code, samples, embed_vd
         )
 
         fg_feat_face = face.features.reshape(B, F, F, cfg.featmap_nc)

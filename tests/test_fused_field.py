@@ -178,6 +178,37 @@ def test_embed_in_kernel_matches_precomputed(rng):
         )
 
 
+def test_dual_branch_kernel_matches_two_singles(rng):
+    """fused_dual_render (both field branches in one kernel) == two
+    fused_field_render calls, for outputs AND gradients (incl. the in-VMEM
+    summed dembed/dzvals/dzdists cotangents)."""
+    from gazenerf_tpu.kernels.fused_field2 import fused_dual_render
+
+    mlp, params_f, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    params_e = jax.tree_util.tree_map(
+        lambda x: x + 0.01 * jnp.sin(jnp.arange(x.size).reshape(x.shape)),
+        params_f,
+    )
+    dims = dims._replace(bwd_tile_rays=16, stash_acts=True)
+
+    def loss_single(pf, pe, embed, sc, ac, zvals, zdists):
+        of = fused_field_render(pf, embed, sc, ac, zvals, zdists, dims)
+        oe = fused_field_render(pe, embed, sc, ac, zvals, zdists, dims)
+        return sum(jnp.sum(t**2) for o in (of, oe) for t in o)
+
+    def loss_dual(pf, pe, embed, sc, ac, zvals, zdists):
+        of, oe = fused_dual_render(pf, pe, embed, sc, ac, zvals, zdists, dims)
+        return sum(jnp.sum(t**2) for o in (of, oe) for t in o)
+
+    a = (params_f, params_e, embed, sc, ac, zvals, zdists)
+    ls, gs = jax.value_and_grad(loss_single, argnums=tuple(range(7)))(*a)
+    ld, gd = jax.value_and_grad(loss_dual, argnums=tuple(range(7)))(*a)
+    np.testing.assert_allclose(float(ls), float(ld), rtol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4)
+
+
 def test_model_fused_path_matches_xla(rng):
     """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
     from gazenerf_tpu.config import ModelConfig
