@@ -43,15 +43,26 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=str, required=True, help="output h5 path")
     p.add_argument("--dataset", type=str, default="eth_xgaze")
     p.add_argument("--layout", type=str, default="flat",
-                   choices=["flat", "xgaze"],
-                   help="raw-data layout: 'xgaze' = frameNNNN/*camCC.JPG "
-                        "dirs + per-subject CSV + per-camera xml calibration "
-                        "(reference dataset_pre_processing.py:80-445); "
-                        "'flat' = one folder of frames, one camera")
+                   choices=["flat", "xgaze", "mpii", "columbia", "gazecapture"],
+                   help="raw-data layout (reference per-dataset iterations, "
+                        "dataset_pre_processing.py:80/468/816/1083): "
+                        "'xgaze' = frameNNNN/*camCC.JPG dirs + per-subject "
+                        "CSV + per-camera xml calibration; 'mpii' = dayNN "
+                        "dirs + pNN.txt + Calibration/Camera.mat; "
+                        "'columbia' = flat NNNN_2m_PP_VV_HH.jpg frames + one "
+                        "cam00.xml; 'gazecapture' = flat frames + per-frame "
+                        "annotation arrays (--annotation_npz); 'flat' = one "
+                        "folder of frames, one synthetic camera")
     p.add_argument("--annotation_csv", type=str, default="",
                    help="xgaze layout: subjectNNNN.csv with gaze + head pose")
+    p.add_argument("--annotation_npz", type=str, default="",
+                   help="gazecapture layout: npz/h5 with camera_parameters, "
+                        "distortion_parameters, head_pose, 3d_gaze_target")
+    p.add_argument("--face_model_3d_npy", type=str, default="",
+                   help="gazecapture layout: 3D face-model coordinates npy "
+                        "(face-center anchor, reference data_process.py:389)")
     p.add_argument("--cam_calib_dir", type=str, default="",
-                   help="xgaze layout: directory of camNN.xml calibrations")
+                   help="xgaze/columbia layouts: camera xml calibration dir")
     p.add_argument("--img_size", type=int, default=512)
     p.add_argument("--focal", type=float, default=1200.0,
                    help="flat layout: raw-camera focal length (px)")
@@ -89,10 +100,36 @@ def main(argv=None) -> int:
         records = iter_xgaze_subject(
             args.frames_dir, args.annotation_csv, cams
         )
+        K = None
+    elif args.layout == "mpii":
+        from gazenerf_tpu.preprocess.enumerate import iter_mpii_subject
+
+        records = iter_mpii_subject(args.frames_dir)
+        K = None
+    elif args.layout == "columbia":
+        from gazenerf_tpu.data.cameras import load_camera_calibrations
+        from gazenerf_tpu.preprocess.enumerate import iter_columbia_subject
+
+        cK, cd = load_camera_calibrations("columbia", args.cam_calib_dir)
+        records = iter_columbia_subject(args.frames_dir, cK, cd)
+        K = None
+    elif args.layout == "gazecapture":
+        from gazenerf_tpu.preprocess.enumerate import iter_gazecapture_subject
+
+        if args.annotation_npz.endswith(".npz"):
+            anno = dict(np.load(args.annotation_npz))
+        else:
+            import h5py
+
+            with h5py.File(args.annotation_npz) as f:
+                anno = {k: np.asarray(f[k]) for k in f}
+        fm3d = np.load(args.face_model_3d_npy)
+        records = iter_gazecapture_subject(args.frames_dir, anno, fm3d)
+        K = None
+    if records is not None:
         if not records:
             logger.error("no frames enumerated under %s", args.frames_dir)
             return 1
-        K = None
     else:
         frames = sorted(
             glob.glob(os.path.join(args.frames_dir, "*.png"))

@@ -94,6 +94,9 @@ def process_frame(
     head_pose: Optional[tuple] = None,
     undistort: bool = False,
     rotate180: bool = False,
+    face_center: Optional[np.ndarray] = None,
+    columbia_crop: bool = False,
+    pitchyaw_head_direct: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Full per-frame pipeline -> one h5 row (minus the fitted code).
 
@@ -113,6 +116,12 @@ def process_frame(
         (h, w) = img_bgr.shape[:2]
         M = cv2.getRotationMatrix2D((w / 2, h / 2), 180, 1.0)
         img_bgr = cv2.warpAffine(img_bgr, M, (w, h))
+    if columbia_crop:
+        # Columbia raws: center crop + 512^2 INTER_AREA resize BEFORE
+        # everything else (reference data_process.py:336-338)
+        if img_bgr.shape[1] > 4320:
+            img_bgr = img_bgr[:, 864:4320]
+        img_bgr = cv2.resize(img_bgr, (512, 512), interpolation=cv2.INTER_AREA)
 
     lm_full = landmark_detector(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB))
     if head_pose is not None:
@@ -125,6 +134,7 @@ def process_frame(
     warped, R_norm, W = normalize_face(
         img_bgr, face_model_3d, rvec, tvec, camera_matrix,
         img_dim=img_size, focal_norm=focal, distance_norm=dist,
+        face_center=face_center,
     )
 
     # landmarks in the normalized image: re-detect (reference re-runs the
@@ -166,7 +176,11 @@ def process_frame(
 
     hR = cv2.Rodrigues(rvec)[0]
     head_pose = normalized_head_pose(R_norm, hR)
-    if gaze_vector is not None:
+    if pitchyaw_head_direct is not None:
+        # Columbia: the label IS the head-coordinate pitchyaw (decoded from
+        # the filename; reference dataset_pre_processing.py:47,1043-1048)
+        pitchyaw_head = np.asarray(pitchyaw_head_direct, np.float32)
+    elif gaze_vector is not None:
         g_norm = R_norm @ np.asarray(gaze_vector, np.float64).reshape(3)
         pitchyaw_cam = vector_to_pitchyaw(g_norm)
         hR_norm = R_norm @ hR
@@ -233,6 +247,9 @@ def process_subject_records(
             head_pose=(rec.hr, rec.ht) if rec.hr is not None else None,
             undistort=rec.distortion is not None and np.any(rec.distortion),
             rotate180=rec.rotate180,
+            face_center=rec.face_center,
+            columbia_crop=rec.columbia_crop,
+            pitchyaw_head_direct=rec.pitchyaw_head_direct,
         )
         rows.append(row)
 

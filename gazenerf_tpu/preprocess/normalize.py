@@ -25,11 +25,17 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 # (focal_norm, distance_norm) per dataset (reference data_process.py variants)
+# PREPROCESSING-time virtual-camera presets (focal, distance): the reference
+# normalizes every dataset at distance 680 with a per-dataset focal
+# (pre_processing/data_process.py:62-63 + per-dataset calls :190 xgaze 1600,
+# :277 mpii 1400, :348 columbia 1600, :399 gazecapture 1200).  EVAL-time
+# estimator-input normalization is a different preset (960/600 at 224,
+# utils/gaze_estimation_utils.py:55-143 -> eval/protocols.make_eval_normalizer).
 NORMALIZATION_PRESETS = {
     "eth_xgaze": (1600.0, 680.0),
-    "mpii_face_gaze": (960.0, 600.0),
-    "columbia": (1400.0, 680.0),
-    "gaze_capture": (1200.0, 600.0),
+    "mpii_face_gaze": (1400.0, 680.0),
+    "columbia": (1600.0, 680.0),
+    "gaze_capture": (1200.0, 680.0),
 }
 
 

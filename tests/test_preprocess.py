@@ -452,3 +452,125 @@ def test_xgaze_layout_roundtrip(tmp_path):
     s = ds[1]
     assert int(s["cam_index"]) == 3
     assert s["image"].shape == (64, 64, 3)
+
+
+def test_mpii_layout_enumeration(tmp_path):
+    """MPIIFaceGaze layout: dayNN dirs + pNN.txt + Calibration/Camera.mat
+    (reference dataset_pre_processing.py:468-560).  Head pose, face center
+    and 3D gaze flow from the annotation row into the record and the
+    face-center anchors the normalization warp."""
+    import cv2
+    import scipy.io
+
+    from gazenerf_tpu.cli.preprocess import DEFAULT_FACE_MODEL
+    from gazenerf_tpu.preprocess.driver import process_subject_records
+    from gazenerf_tpu.preprocess.enumerate import iter_mpii_subject
+
+    subj = tmp_path / "p03"
+    (subj / "Calibration").mkdir(parents=True)
+    scipy.io.savemat(
+        str(subj / "Calibration" / "Camera.mat"),
+        {
+            "cameraMatrix": np.array(
+                [[600.0, 0, 120], [0, 600.0, 120], [0, 0, 1]]
+            ),
+            "distCoeffs": np.zeros((1, 5)),
+        },
+    )
+    rng = np.random.default_rng(1)
+    rows = []
+    for day in ("day01", "day02"):
+        (subj / day).mkdir()
+        name = "0001.jpg"
+        cv2.imwrite(str(subj / day / name),
+                    (rng.random((240, 240, 3)) * 255).astype(np.uint8))
+        row = [f"{day}/{name}"] + ["0"] * 14
+        row += ["0.01", "-0.02", "0.03"]          # hr 15-17
+        row += ["1.0", "2.0", "580.0"]            # ht 18-20
+        row += ["0.5", "1.0", "575.0"]            # fc 21-23
+        row += ["0.05", "-0.02", "-0.99"]         # gaze 24-26
+        rows.append(" ".join(row))
+    (subj / "p03.txt").write_text("\n".join(rows))
+
+    records = iter_mpii_subject(str(subj))
+    assert len(records) == 2
+    np.testing.assert_allclose(records[0].hr.ravel(), [0.01, -0.02, 0.03])
+    np.testing.assert_allclose(records[0].face_center.ravel(), [0.5, 1.0, 575.0])
+
+    out = str(tmp_path / "mpii_subject0003.h5")
+    process_subject_records(
+        records, out, DEFAULT_FACE_MODEL, img_size=64, dataset="mpii_face_gaze"
+    )
+    import h5py
+
+    with h5py.File(out) as h:
+        assert h["face_patch"].shape == (2, 64, 64, 3)
+        assert np.isfinite(h["pitchyaw_head"][:]).all()
+
+
+def test_columbia_layout_enumeration(tmp_path):
+    """Columbia layout: filename-encoded gaze label [-V, P-H] degrees
+    (reference dataset_pre_processing.py:47) lands in pitchyaw_head
+    directly; raw frames take the columbia crop path."""
+    import cv2
+
+    from gazenerf_tpu.cli.preprocess import DEFAULT_FACE_MODEL
+    from gazenerf_tpu.preprocess.driver import process_subject_records
+    from gazenerf_tpu.preprocess.enumerate import iter_columbia_subject
+
+    d = tmp_path / "0001"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    for name in ("0001_2m_0P_-10V_5H.jpg", "0001_2m_15P_10V_-5H.jpg"):
+        cv2.imwrite(str(d / name), (rng.random((120, 160, 3)) * 255).astype(np.uint8))
+    K = np.array([[600.0, 0, 80], [0, 600.0, 60], [0, 0, 1]])
+    records = iter_columbia_subject(str(d), K)
+    assert len(records) == 2 and records[0].columbia_crop
+    np.testing.assert_allclose(
+        records[0].pitchyaw_head_direct,
+        [10 * np.pi / 180.0, -5 * np.pi / 180.0], atol=1e-6,
+    )
+    out = str(tmp_path / "columbia_subject0001.h5")
+    process_subject_records(
+        records, out, DEFAULT_FACE_MODEL, img_size=64, dataset="columbia"
+    )
+    import h5py
+
+    with h5py.File(out) as h:
+        got = h["pitchyaw_head"][0]
+        np.testing.assert_allclose(
+            got, [10 * np.pi / 180.0, -5 * np.pi / 180.0], atol=1e-6
+        )
+
+
+def test_gazecapture_layout_enumeration(tmp_path):
+    """GazeCapture layout: per-frame camera params + head pose + 3D gaze
+    target arrays (reference data_process.py:356-405); gaze = target - face
+    center from the posed 3D face model."""
+    import cv2
+
+    from gazenerf_tpu.preprocess.enumerate import iter_gazecapture_subject
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        cv2.imwrite(str(d / f"{i:05d}.jpg"),
+                    (rng.random((120, 120, 3)) * 255).astype(np.uint8))
+    N = 2
+    anno = {
+        "camera_parameters": np.tile([600.0, 600.0, 60.0, 60.0], (N, 1)),
+        "distortion_parameters": np.zeros((N, 5)),
+        "head_pose": np.tile([0.01, -0.02, 0.03, 1.0, 2.0, 580.0], (N, 1)),
+        "3d_gaze_target": np.tile([10.0, 20.0, 30.0], (N, 1)),
+    }
+    fm3d = np.zeros((14, 3))
+    fm3d[10] = [1.0, 0.0, 0.0]
+    fm3d[11] = [-1.0, 0.0, 0.0]
+    records = iter_gazecapture_subject(str(d), anno, fm3d)
+    assert len(records) == 2
+    # fc = mean of posed rows 10:12 ~= ht; gaze = target - fc
+    np.testing.assert_allclose(
+        records[0].gaze_3d, [10.0 - 1.0, 20.0 - 2.0, 30.0 - 580.0], atol=1e-6
+    )
+    assert records[0].camera_matrix[0, 0] == 600.0
