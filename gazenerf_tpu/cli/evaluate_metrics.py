@@ -295,11 +295,41 @@ def main(argv=None) -> int:
                 }
             res = {"per_subject": per_subject, "overall": overall}
         elif args.evaluation_type == "gaze_transfer":
-            s = subjects[0]
-            batches = subject_batches(kind, ddir, s)
-            ctx = make_ctx(kind, s)
-            res = evaluate_gaze_transfer(ctx, batches[0], batches[1])
-            res = {k: v for k, v in res.items() if not isinstance(v, np.ndarray)}
+            # reference pairs each val subject with the NEXT one: recover the
+            # gaze on subject k, re-render it on subject k+1
+            # (utils/metrics_utils.py:782-889); single-subject runs transfer
+            # between two frames of the same subject
+            per_pair = {}
+            pairings = (
+                list(zip(subjects[:-1], subjects[1:]))
+                if len(subjects) > 1
+                else [(subjects[0], subjects[0])]
+            )
+            for src_s, tgt_s in pairings[: args.max_pairs]:
+                src_b = subject_batches(kind, ddir, src_s)
+                tgt_b = (
+                    src_b if tgt_s == src_s
+                    else subject_batches(kind, ddir, tgt_s)
+                )
+                if not src_b or not tgt_b:
+                    continue
+                ctx = make_ctx(kind, src_s)
+                tgt_batch = tgt_b[1] if tgt_s == src_s and len(tgt_b) > 1 else tgt_b[0]
+                r = evaluate_gaze_transfer(ctx, src_b[0], tgt_batch)
+                per_pair[f"{src_s}->{tgt_s}"] = {
+                    k: v for k, v in r.items() if not isinstance(v, np.ndarray)
+                }
+            overall = {}
+            if per_pair:
+                overall = {
+                    "opt_loss": float(
+                        np.mean([v["opt_loss"] for v in per_pair.values()])
+                    ),
+                    "opt_steps": float(
+                        np.mean([v["opt_steps"] for v in per_pair.values()])
+                    ),
+                }
+            res = {"per_pair": per_pair, "overall": overall}
         else:  # personal_calibration
             import os
 
