@@ -376,7 +376,12 @@ def fused_field_render(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
 
     Returns ``(feat_int [B,R,C], bg_alpha [B,R], depth [B,R], weights [B,R,S])``.
     """
-    out, _ = _pallas_forward(params, embed, sc, ac, zvals, zdists, dims)
+    # primal path (no grad in flight): never write the activation stash —
+    # it exists only for the backward (inference would pay ~3.8 GB/branch
+    # of HBM writes for nothing)
+    out, _ = _pallas_forward(
+        params, embed, sc, ac, zvals, zdists, dims._replace(stash_acts=False)
+    )
     return out
 
 

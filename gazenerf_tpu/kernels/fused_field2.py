@@ -222,8 +222,10 @@ def fused_dual_render(params_face, params_eye, embed, sc, ac, zvals, zdists,
 
     Returns ``((feat, bga, depth, w) for face, (…) for eyes)``.
     """
+    # primal path: skip the activation stash (backward-only; see fused_field)
     outs, _ = _dual_forward(
-        [params_face, params_eye], embed, sc, ac, zvals, zdists, dims
+        [params_face, params_eye], embed, sc, ac, zvals, zdists,
+        dims._replace(stash_acts=False),
     )
     return outs
 

@@ -193,6 +193,29 @@ def test_evaluate_metrics_cli_val_sweep(tmp_path, monkeypatch, capsys):
     assert np.isfinite(list(out["overall"].values())).all()
 
 
+def test_input_target_sweep_pools_fid(setup):
+    """evaluate_input_target_sweep aggregates per-subject metrics and pools
+    the FID sets across subjects (reference accumulates per-subject AND
+    overall FID — utils/metrics_utils.py:386-398)."""
+    from gazenerf_tpu.eval.protocols import evaluate_input_target_sweep
+
+    cfg, tr, ctx, batches = setup
+    subject_pairs = {
+        "s0": [{"input": batches[0], "target": batches[1]}],
+        "s1": [
+            {"input": batches[2], "target": batches[3]},
+            {"input": batches[1], "target": batches[0]},
+        ],
+    }
+    res = evaluate_input_target_sweep(ctx, subject_pairs)
+    assert set(res["per_subject"]) == {"s0", "s1"}
+    assert res["per_subject"]["s1"]["num_pairs"] == 2
+    assert res["overall"]["num_pairs"] == 3
+    assert res["overall"]["num_subjects"] == 2
+    for k in ("ssim", "psnr", "l1"):
+        assert np.isfinite(res["overall"][k])
+
+
 def test_personal_calibration_protocol(setup, tmp_path):
     import h5py
 
