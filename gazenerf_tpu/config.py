@@ -102,6 +102,12 @@ class ModelConfig:
     # is what blocked bwd_tile_rays>8 ("25.58M scoped vs 16M", PERF_NOTES
     # round 2).  0 = compiler default.
     pallas_vmem_mb: int = 0
+    # render rays in sequential chunks of this many rays (lax.map +
+    # jax.checkpoint): bounds the live activation/stash footprint to one
+    # chunk, enabling deep sample marches (e.g. S=256 full-size needs
+    # ~16.7GB unchunked — over v5e's HBM) at the cost of recompute.
+    # 0 = no chunking (fastest; the S=64 training shape fits easily)
+    ray_chunk: int = 0
     # evaluate BOTH field branches (face + eyes) in ONE fused kernel per
     # direction: the two 8-layer chains are independent, so the scheduler
     # interleaves them to fill MXU pipeline gaps; shared-input cotangents

@@ -178,6 +178,61 @@ class GazeNeRF(nn.Module):
         return out
 
     def _render_both(self, embed, shape_ext_code, appea_code, samples, embed_vd):
+        """Both streams, optionally in sequential ray chunks.
+
+        ``cfg.ray_chunk`` bounds the live per-ray activation/stash footprint
+        to one chunk (lax.map + jax.checkpoint — the SURVEY §5 sample-axis
+        scaling story): deep marches (S=256 at full size needs ~16.7 GB
+        unchunked, over v5e HBM) become a sequential sweep of
+        memory-bounded tiles.
+        """
+        cfg = self.cfg
+        R = embed.shape[1]
+        rc = cfg.ray_chunk
+        if (
+            rc
+            and R > rc
+            and R % rc == 0
+            and embed_vd is None
+            and not self.is_initializing()
+        ):
+            import jax
+
+            from gazenerf_tpu.ops.integrate import Integrated
+
+            n = R // rc
+
+            def per_chunk(chunk):
+                e, pts, zv, zd = chunk
+                sub = samples._replace(pts=pts, zvals=zv, z_dists=zd)
+                f, ey = self._render_both_impl(
+                    e, shape_ext_code, appea_code, sub, None
+                )
+                return (tuple(f), tuple(ey))
+
+            def split(x):  # [B, R, ...] -> [n, B, rc, ...]
+                return jnp.moveaxis(
+                    x.reshape(x.shape[0], n, rc, *x.shape[2:]), 1, 0
+                )
+
+            chunks = tuple(
+                split(x) for x in (embed, samples.pts, samples.zvals, samples.z_dists)
+            )
+            f, ey = jax.lax.map(jax.checkpoint(per_chunk), chunks)
+
+            def join(x):  # [n, B, rc, ...] -> [B, R, ...]
+                x = jnp.moveaxis(x, 0, 1)
+                return x.reshape(x.shape[0], R, *x.shape[3:])
+
+            return (
+                Integrated(*(join(t) for t in f)),
+                Integrated(*(join(t) for t in ey)),
+            )
+        return self._render_both_impl(
+            embed, shape_ext_code, appea_code, samples, embed_vd
+        )
+
+    def _render_both_impl(self, embed, shape_ext_code, appea_code, samples, embed_vd):
         """Both streams; one dual-branch kernel when it applies (the two
         independent field chains interleave on the MXU — kernels/fused_field2)."""
         cfg = self.cfg

@@ -209,6 +209,52 @@ def test_dual_branch_kernel_matches_two_singles(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4)
 
 
+def test_ray_chunked_render_matches_unchunked(rng):
+    """cfg.ray_chunk (sequential lax.map + checkpoint over ray tiles) is
+    numerically identical to the unchunked render, values AND gradients —
+    the memory-bounded deep-march mode."""
+    from gazenerf_tpu.config import ModelConfig
+    from gazenerf_tpu.models.gaze_nerf import GazeNeRF
+    from gazenerf_tpu.ops import pixel_grid
+
+    def build(rc):
+        cfg = ModelConfig(
+            num_sample_coarse=8, featmap_size=16, pred_img_size=64,
+            mlp_hidden=32, use_pallas=False, ray_chunk=rc,
+        )
+        return GazeNeRF(cfg), cfg
+
+    model0, cfg = build(0)
+    model1, _ = build(64)  # 256 rays -> 4 chunks
+    B, W = 1, cfg.featmap_size
+    xy = jnp.broadcast_to(jnp.asarray(np.asarray(pixel_grid(W)))[None], (B, W * W, 2))
+    R = jnp.asarray(np.diag([1.0, -1.0, -1.0])[None].astype(np.float32))
+    T3 = jnp.asarray(np.array([[0.0, 0.0, 10.0]], np.float32)).reshape(B, 3, 1)
+    Kn = np.zeros((B, 3, 3), np.float32)
+    Kn[:, 0, 0] = Kn[:, 1, 1] = 0.05
+    Kn[:, 0, 2] = Kn[:, 1, 2] = -0.8
+    Kn[:, 2, 2] = 1
+    K = jnp.asarray(Kn)
+    sc = jnp.zeros((B, 179))
+    ac = jnp.zeros((B, 127))
+    gz = jnp.asarray([[0.2, -0.1]], jnp.float32)
+    params = model0.init({"params": jax.random.PRNGKey(0)}, xy, sc, ac, gz, R, T3, K)
+
+    def loss(m, p, g):
+        out = m.apply(p, xy, sc, ac, g, R, T3, K)
+        return jnp.sum(out["coarse_dict"]["merge_img"] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p, g: loss(model0, p, g), argnums=(0, 1))(
+        params, gz
+    )
+    l1, g1 = jax.value_and_grad(lambda p, g: loss(model1, p, g), argnums=(0, 1))(
+        params, gz
+    )
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
 def test_model_fused_path_matches_xla(rng):
     """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
     from gazenerf_tpu.config import ModelConfig
