@@ -124,6 +124,13 @@ class ModelConfig:
     # backward's MXU FLOPs (the bwd kernels are the step's dominant cost —
     # 62 of 112 ms in the round-3 trace)
     pallas_stash_acts: bool = False
+    # backward kernel emits only the data-gradient chain (masked per-layer
+    # dpre cotangents, bf16, to HBM); the weight gradients become one giant
+    # [C_in,N]x[N,C_out] XLA matmul per layer over the stashed activations.
+    # The in-kernel dW accumulate pattern (~35 small matmuls/grid step) ran
+    # at ~60% MFU; XLA runs the same contractions at ~87%.  Implies
+    # stash_acts; incompatible with pallas_fuse_embed.
+    pallas_split_dw: bool = False
 
     @property
     def shape_code_dims(self) -> int:

@@ -60,6 +60,14 @@ class FieldDims(NamedTuple):
     # activations (bf16) to HBM; the backward reads them instead of
     # recomputing the forward in-tile — trades ~3.8 GB/branch of (pipelined)
     # HBM traffic for 1/3 of the backward's MXU FLOPs
+    split_dw: bool = False  # backward kernel computes ONLY the data-gradient
+    # chain (writing the masked per-layer cotangents ``dpre`` to HBM, bf16);
+    # the weight gradients become one giant [C_in, N] x [N, C_out] XLA matmul
+    # per layer over the stashed activations in the epilogue.  Rationale: the
+    # in-kernel dW accumulation runs ~35 small (<=0.3 GFLOP) matmuls per grid
+    # step against resident accumulators — Mosaic sequencing overhead puts
+    # the fused bwd at ~60% MFU while XLA runs the same contraction shapes at
+    # ~87% (PERF_NOTES round 3).  Requires stash_acts.
     embed_in_kernel: bool = False  # take raw sample points [B,R,S,3] and
     # compute the positional encoding in VMEM (and its cotangent dpts in the
     # backward) — the [B,R,S,63] embed/dembed tensors never touch HBM and

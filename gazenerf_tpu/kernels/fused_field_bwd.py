@@ -54,13 +54,23 @@ def _bwd_kernel(dims: FieldDims):
         # [optional stashed activations: acts0..7, y0b, y1] then outputs
         *rest,
     ):
-        stash_refs = rest[:-18]
-        (
-            dembed_ref, dzvals_ref, dzdists_ref,
-            dcb0_ref, dcb5_ref, dcbr1_ref,
-            dW0e_ref, dWmid_ref, dbmid_ref, dW5e_ref, dW5x_ref,
-            dWd_ref, dbd_ref, dWr0_ref, dbr0_ref, dWr1x_ref, dWr2_ref, dbr2_ref,
-        ) = rest[-18:]
+        n_tail = 22 if dims.split_dw else 18
+        stash_refs = rest[:-n_tail]
+        if dims.split_dw:
+            (
+                dembed_ref, dzvals_ref, dzdists_ref,
+                dcb0_ref, dcb5_ref, dcbr1_ref,
+                dbmid_ref, dbd_ref, dbr0_ref, dbr2_ref,
+                *dpre_refs,  # dpre0..7, ddens, dy0, dy1, dfeat
+            ) = rest[-n_tail:]
+        else:
+            (
+                dembed_ref, dzvals_ref, dzdists_ref,
+                dcb0_ref, dcb5_ref, dcbr1_ref,
+                dW0e_ref, dWmid_ref, dbmid_ref, dW5e_ref, dW5x_ref,
+                dWd_ref, dbd_ref, dWr0_ref, dbr0_ref, dWr1x_ref, dWr2_ref,
+                dbr2_ref,
+            ) = rest[-n_tail:]
         f32 = jnp.float32
         bf = jnp.bfloat16
         bidx = pl.program_id(0)
@@ -186,12 +196,20 @@ def _bwd_kernel(dims: FieldDims):
             def _():
                 ref[...] += val
 
-        acc(dWr2_ref, outer(y1, dfeat.astype(bf)))
+        if dims.split_dw:
+            # stash the head cotangents; their dW contractions run in the
+            # XLA epilogue as one [C_in, N] x [N, C_out] matmul per weight
+            dpre_refs[9][0] = dy0.astype(bf).reshape(TR, S, H)
+            dpre_refs[10][0] = dy1.astype(bf).reshape(TR, S, H2)
+            dpre_refs[11][0] = dfeat.astype(bf).reshape(TR, S, C)
+            dpre_refs[8][0] = dpre_dens.reshape(TR, S)
+        else:
+            acc(dWr2_ref, outer(y1, dfeat.astype(bf)))
+            acc(dWr1x_ref, outer(y0b, dy1.astype(bf)))
+            acc(dWr0_ref, outer(x7, dy0.astype(bf)))
+            acc(dWd_ref, outer(x7, dpre_dens.astype(bf)))
         acc(dbr2_ref, jnp.sum(dfeat, axis=0))
-        acc(dWr1x_ref, outer(y0b, dy1.astype(bf)))
-        acc(dWr0_ref, outer(x7, dy0.astype(bf)))
         acc(dbr0_ref, jnp.sum(dy0, axis=0))
-        acc(dWd_ref, outer(x7, dpre_dens.astype(bf)))
         acc(dbd_ref, jnp.sum(dpre_dens, axis=0))
         # per-batch conditioning rows: reset at each batch's first tile
         acc(dcbr1_ref, jnp.sum(dy1, axis=0)[None, None, :], first=is_first_of_batch)
@@ -201,23 +219,30 @@ def _bwd_kernel(dims: FieldDims):
         mid = 5  # Wmid holds layers (1,2,3,4,6,7); walk backwards
         for i in range(7, 0, -1):
             dpre = jnp.where(acts[i].astype(f32) > 0.0, dx, 0.0)
+            if dims.split_dw:
+                dpre_refs[i][0] = dpre.astype(bf).reshape(TR, S, H)
             if i == 5:
-                acc(dW5e_ref, outer(embed, dpre.astype(bf)))
-                acc(dW5x_ref, outer(acts[4], dpre.astype(bf)))
+                if not dims.split_dw:
+                    acc(dW5e_ref, outer(embed, dpre.astype(bf)))
+                    acc(dW5x_ref, outer(acts[4], dpre.astype(bf)))
                 acc(dcb5_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
                 dembed_acc = dembed_acc + dgrad(dpre, W5e_ref[...])
                 dx = dgrad(dpre, W5x_ref[...])
             else:
                 acc_slot = mid
-                acc(
-                    dWmid_ref.at[acc_slot],
-                    outer(acts[i - 1], dpre.astype(bf)),
-                )
+                if not dims.split_dw:
+                    acc(
+                        dWmid_ref.at[acc_slot],
+                        outer(acts[i - 1], dpre.astype(bf)),
+                    )
                 acc(dbmid_ref.at[acc_slot], jnp.sum(dpre, axis=0))
                 dx = dgrad(dpre, Wmid_ref[acc_slot])
                 mid -= 1
         dpre = jnp.where(acts[0].astype(f32) > 0.0, dx, 0.0)
-        acc(dW0e_ref, outer(embed, dpre.astype(bf)))
+        if dims.split_dw:
+            dpre_refs[0][0] = dpre.astype(bf).reshape(TR, S, H)
+        else:
+            acc(dW0e_ref, outer(embed, dpre.astype(bf)))
         acc(dcb0_ref, jnp.sum(dpre, axis=0)[None, None, :], first=is_first_of_batch)
         dembed_acc = dembed_acc + dgrad(dpre, W0e_ref[...])
 
@@ -274,46 +299,84 @@ def pallas_backward(
     def const_shape(shape):
         return pl.BlockSpec(shape, lambda b, r: (0,) * len(shape), memory_space=vm)
 
-    out_shapes = [
-        jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed (dpts if fused)
-        jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
-        jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
-        jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
-        jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb5
-        jax.ShapeDtypeStruct((B, 1, H2), f32),  # dcbr1
-        jax.ShapeDtypeStruct((De, H), f32),  # dW0e
-        jax.ShapeDtypeStruct((6, H, H), f32),  # dWmid
-        jax.ShapeDtypeStruct((6, H), f32),  # dbmid
-        jax.ShapeDtypeStruct((De, H), f32),  # dW5e
-        jax.ShapeDtypeStruct((H, H), f32),  # dW5x
-        jax.ShapeDtypeStruct((H, 1), f32),  # dWd
-        jax.ShapeDtypeStruct((1,), f32),  # dbd
-        jax.ShapeDtypeStruct((H, H), f32),  # dWr0
-        jax.ShapeDtypeStruct((H,), f32),  # dbr0
-        jax.ShapeDtypeStruct((H, H2), f32),  # dWr1x
-        jax.ShapeDtypeStruct((H2, C), f32),  # dWr2
-        jax.ShapeDtypeStruct((C,), f32),  # dbr2
-    ]
-    out_specs = [
-        tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
-        tile((1, TR, S), lambda b, r: (b, r, 0)),
-        tile((1, TR, S), lambda b, r: (b, r, 0)),
-        pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 1, H2), lambda b, r: (b, 0, 0), memory_space=vm),
-        const_shape((De, H)),
-        const_shape((6, H, H)),
-        const_shape((6, H)),
-        const_shape((De, H)),
-        const_shape((H, H)),
-        const_shape((H, 1)),
-        const_shape((1,)),
-        const_shape((H, H)),
-        const_shape((H,)),
-        const_shape((H, H2)),
-        const_shape((H2, C)),
-        const_shape((C,)),
-    ]
+    if dims.split_dw:
+        assert dims.stash_acts and stash, "split_dw requires stash_acts"
+        assert not dims.embed_in_kernel, "split_dw x embed_in_kernel unsupported"
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed
+            jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
+            jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
+            jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
+            jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb5
+            jax.ShapeDtypeStruct((B, 1, H2), f32),  # dcbr1
+            jax.ShapeDtypeStruct((6, H), f32),  # dbmid
+            jax.ShapeDtypeStruct((1,), f32),  # dbd
+            jax.ShapeDtypeStruct((H,), f32),  # dbr0
+            jax.ShapeDtypeStruct((C,), f32),  # dbr2
+        ] + [jax.ShapeDtypeStruct((B, R, S, H), bf) for _ in range(8)] + [
+            jax.ShapeDtypeStruct((B, R, S), f32),  # ddens_pre
+            jax.ShapeDtypeStruct((B, R, S, H), bf),  # dy0
+            jax.ShapeDtypeStruct((B, R, S, H2), bf),  # dy1
+            jax.ShapeDtypeStruct((B, R, S, C), bf),  # dfeat
+        ]
+        out_specs = [
+            tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, H2), lambda b, r: (b, 0, 0), memory_space=vm),
+            const_shape((6, H)),
+            const_shape((1,)),
+            const_shape((H,)),
+            const_shape((C,)),
+        ] + [tile((1, TR, S, H), lambda b, r: (b, r, 0, 0)) for _ in range(8)] + [
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            tile((1, TR, S, H), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S, H2), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S, C), lambda b, r: (b, r, 0, 0)),
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed (dpts if fused)
+            jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
+            jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
+            jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
+            jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb5
+            jax.ShapeDtypeStruct((B, 1, H2), f32),  # dcbr1
+            jax.ShapeDtypeStruct((De, H), f32),  # dW0e
+            jax.ShapeDtypeStruct((6, H, H), f32),  # dWmid
+            jax.ShapeDtypeStruct((6, H), f32),  # dbmid
+            jax.ShapeDtypeStruct((De, H), f32),  # dW5e
+            jax.ShapeDtypeStruct((H, H), f32),  # dW5x
+            jax.ShapeDtypeStruct((H, 1), f32),  # dWd
+            jax.ShapeDtypeStruct((1,), f32),  # dbd
+            jax.ShapeDtypeStruct((H, H), f32),  # dWr0
+            jax.ShapeDtypeStruct((H,), f32),  # dbr0
+            jax.ShapeDtypeStruct((H, H2), f32),  # dWr1x
+            jax.ShapeDtypeStruct((H2, C), f32),  # dWr2
+            jax.ShapeDtypeStruct((C,), f32),  # dbr2
+        ]
+        out_specs = [
+            tile((1, TR, S, Din), lambda b, r: (b, r, 0, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            tile((1, TR, S), lambda b, r: (b, r, 0)),
+            pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, H), lambda b, r: (b, 0, 0), memory_space=vm),
+            pl.BlockSpec((1, 1, H2), lambda b, r: (b, 0, 0), memory_space=vm),
+            const_shape((De, H)),
+            const_shape((6, H, H)),
+            const_shape((6, H)),
+            const_shape((De, H)),
+            const_shape((H, H)),
+            const_shape((H, 1)),
+            const_shape((1,)),
+            const_shape((H, H)),
+            const_shape((H,)),
+            const_shape((H, H2)),
+            const_shape((H2, C)),
+            const_shape((C,)),
+        ]
 
     stash = tuple(stash) if dims.stash_acts else ()
     stash_specs = [
@@ -347,11 +410,39 @@ def pallas_backward(
         gfeat, gbga3, gdepth3, gw, *stash,
     )
 
-    (
-        dembed, dzvals, dzdists, dcb0, dcb5, dcbr1,
-        dW0e, dWmid, dbmid, dW5e, dW5x, dWd, dbd,
-        dWr0, dbr0, dWr1x, dWr2, dbr2,
-    ) = outs
+    if dims.split_dw:
+        (
+            dembed, dzvals, dzdists, dcb0, dcb5, dcbr1,
+            dbmid, dbd, dbr0, dbr2, *rest_outs
+        ) = outs
+        dpres = rest_outs[:8]
+        ddens, dy0, dy1, dfeat = rest_outs[8:]
+
+        # weight gradients as one [C_in, N] x [N, C_out] contraction each —
+        # XLA tiles these giant-K matmuls at ~87% MFU vs ~60% for the
+        # in-kernel accumulate pattern (PERF_NOTES round 3)
+        def mmT(a, b):  # a^T @ b, f32 accumulate
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        a = [s.reshape(-1, s.shape[-1]) for s in stash]  # acts0..7, y0b, y1
+        dp = [d.reshape(-1, H) for d in dpres]
+        e2 = embed.reshape(-1, De).astype(bf)
+        dW0e = mmT(e2, dp[0])
+        dWmid = jnp.stack([mmT(a[i - 1], dp[i]) for i in (1, 2, 3, 4, 6, 7)])
+        dW5e = mmT(e2, dp[5])
+        dW5x = mmT(a[4], dp[5])
+        dWd = mmT(a[7], ddens.reshape(-1, 1).astype(bf))
+        dWr0 = mmT(a[7], dy0.reshape(-1, H))
+        dWr1x = mmT(a[8], dy1.reshape(-1, H2))
+        dWr2 = mmT(a[9], dfeat.reshape(-1, C))
+    else:
+        (
+            dembed, dzvals, dzdists, dcb0, dcb5, dcbr1,
+            dW0e, dWmid, dbmid, dW5e, dW5x, dWd, dbd,
+            dWr0, dbr0, dWr1x, dWr2, dbr2,
+        ) = outs
 
     dcb0 = dcb0[:, 0, :]
     dcb5 = dcb5[:, 0, :]

@@ -129,7 +129,8 @@ class GazeNeRF(nn.Module):
         dims = default_dims(cfg, interpret=interpret)._replace(
             samples=S, tile_rays=tr, bwd_tile_rays=btr,
             vmem_limit_mb=cfg.pallas_vmem_mb,
-            stash_acts=cfg.pallas_stash_acts,
+            stash_acts=cfg.pallas_stash_acts or cfg.pallas_split_dw,
+            split_dw=cfg.pallas_split_dw,
         )
         return dims if R % dims.tile_rays == 0 else None
 
@@ -150,6 +151,7 @@ class GazeNeRF(nn.Module):
                 x_in = embed
                 if (
                     cfg.pallas_fuse_embed
+                    and not cfg.pallas_split_dw
                     and cfg.include_input_vp
                     and cfg.vp_embed_dims == 3 + 6 * cfg.vp_n_freqs
                 ):

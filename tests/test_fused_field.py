@@ -145,6 +145,32 @@ def test_stash_acts_backward_matches_recompute(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_split_dw_backward_matches_fused(rng):
+    """split_dw=True (dX chain in-kernel, dW as XLA epilogue matmuls over the
+    stashed activations) == the fully-fused stash backward.  Both contract the
+    same bf16 operands with f32 accumulation; only the reduction order differs
+    (per-tile accumulate vs one giant-K matmul)."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True, stash_acts=True)
+
+    def make_loss(d):
+        def loss(params, embed, sc, ac):
+            f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, d)
+            return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+        return loss
+
+    g_f = jax.grad(make_loss(dims), argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    g_s = jax.grad(make_loss(dims._replace(split_dw=True)), argnums=(0, 1, 2, 3))(
+        params, embed, sc, ac
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
 def test_embed_in_kernel_matches_precomputed(rng):
     """embed_in_kernel=True (raw pts in, dpts out) == precomputed-embed path
     for both outputs and gradients (incl. the pts cotangent vs XLA autodiff
