@@ -131,6 +131,13 @@ class ModelConfig:
     # at ~60% MFU; XLA runs the same contractions at ~87%.  Implies
     # stash_acts; incompatible with pallas_fuse_embed.
     pallas_split_dw: bool = False
+    # compute the 1-wide density head on the VPU (broadcast-multiply + lane
+    # reduction) instead of its three worst-shaped MXU matmuls
+    pallas_dens_vpu: bool = False
+    # pass the positional encoding to the fused kernels as bf16 (forward
+    # values unchanged — the kernel casts internally anyway); the dembed
+    # cotangent then comes back bf16, halving its write + XLA-side chain
+    pallas_embed_bf16: bool = False
 
     @property
     def shape_code_dims(self) -> int:

@@ -60,6 +60,11 @@ class FieldDims(NamedTuple):
     # activations (bf16) to HBM; the backward reads them instead of
     # recomputing the forward in-tile — trades ~3.8 GB/branch of (pipelined)
     # HBM traffic for 1/3 of the backward's MXU FLOPs
+    dens_vpu: bool = False  # compute the 1-wide density head on the VPU
+    # (broadcast-multiply + lane reduction) instead of MXU matmuls: the
+    # [N,384]x[384,1] forward, its rank-1 [N,1]x[1,384] dgrad and the [384,1]
+    # dWd outer are the kernel's worst-shaped MXU ops (1 useful column of
+    # 128) — per-matmul sequencing overhead dominates their flops
     split_dw: bool = False  # backward kernel computes ONLY the data-gradient
     # chain (writing the masked per-layer cotangents ``dpre`` to HBM, bf16);
     # the weight gradients become one giant [C_in, N] x [N, C_out] XLA matmul
@@ -207,14 +212,24 @@ def _field_kernel(dims: FieldDims):
             if stash_refs:
                 stash_refs[i][0] = x.reshape(TR, S, H)
 
-        density = jnp.maximum(
-            dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0
-        )
+        if dims.dens_vpu:
+            dens_pre = (
+                jnp.sum(
+                    x.astype(f32) * Wd_ref[...].astype(f32)[:, 0][None, :],
+                    axis=1, keepdims=True,
+                )
+                + bd_ref[...][None, :]
+            )
+            density = jnp.maximum(dens_pre, 0.0)
+        else:
+            density = jnp.maximum(
+                dense(x, Wd_ref[...].astype(bf)) + bd_ref[...][None, :], 0.0
+            )
         y = dense(x, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
         y0b = y.astype(bf)
         y = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
         y = jnp.maximum(y, 0.0).astype(bf)
-        if stash_refs:
+        if len(stash_refs) > 8:
             stash_refs[8][0] = y0b.reshape(TR, S, H)
             stash_refs[9][0] = y.reshape(TR, S, H2)
         feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]
@@ -303,7 +318,11 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
         jax.ShapeDtypeStruct((B, R, S), f32),
     ]
     if dims.stash_acts:
-        # trunk acts x0..x7 + head intermediates (y0b, y1), bf16 in HBM
+        # trunk acts x0..x7 + head intermediates (y0b, y1), bf16 in HBM.
+        # (A "heads diet" that recomputed y0b/y1 from x7 in the backward —
+        # 2 matmuls for ~1.2 GB/branch of traffic — measured 10 ms WORSE:
+        # per-matmul Mosaic overhead in this kernel is ~5 us, so adding
+        # matmuls to save pipelined HBM reads is backwards.  PERF_NOTES r3.)
         stash_widths = [H] * 9 + [H2]
         for w_ in stash_widths:
             out_specs.append(tile((1, TR, S, w_), lambda b, r: (b, r, 0, 0)))

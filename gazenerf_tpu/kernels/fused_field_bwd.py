@@ -103,11 +103,19 @@ def _bwd_kernel(dims: FieldDims):
 
         if stash_refs:
             # forward stashed x0..x7, y0b, y1 in HBM (bf16); only the two
-            # cheap head matmuls (density, rgb_2) are recomputed here
+            # cheap head matmuls (density, rgb_2) are recomputed here.
+            # (Recomputing y0b/y1 instead measured 10 ms WORSE — per-matmul
+            # Mosaic overhead ~5 us dwarfs the pipelined HBM reads saved.)
             acts = [stash_refs[i][0].reshape(N, H) for i in range(8)]
             x7 = acts[7]
-            y0b = stash_refs[8][0].reshape(N, H)
-            y1 = stash_refs[9][0].reshape(N, H2)
+            if len(stash_refs) > 8:
+                y0b = stash_refs[8][0].reshape(N, H)
+                y1 = stash_refs[9][0].reshape(N, H2)
+            else:  # defensive: heads absent from a caller-supplied stash
+                y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+                y0b = y0.astype(bf)
+                y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
+                y1 = jnp.maximum(y1, 0.0).astype(bf)
         else:
             acts = []
             x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
@@ -131,7 +139,16 @@ def _bwd_kernel(dims: FieldDims):
             y0b = y0.astype(bf)
             y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
             y1 = jnp.maximum(y1, 0.0).astype(bf)
-        dens_pre = dense(x7, Wd_ref[...].astype(bf)) + bd_ref[...][None, :]
+        if dims.dens_vpu:
+            dens_pre = (
+                jnp.sum(
+                    x7.astype(f32) * Wd_ref[...].astype(f32)[:, 0][None, :],
+                    axis=1, keepdims=True,
+                )
+                + bd_ref[...][None, :]
+            )
+        else:
+            dens_pre = dense(x7, Wd_ref[...].astype(bf)) + bd_ref[...][None, :]
         sigma = jnp.maximum(dens_pre, 0.0).reshape(TR, S)
         feat = dense(y1, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]  # [N,C] f32
 
@@ -184,7 +201,14 @@ def _bwd_kernel(dims: FieldDims):
         dy1 = dgrad(dfeat, Wr2_ref[...])  # [N, H2]
         dy1 = jnp.where(y1.astype(f32) > 0.0, dy1, 0.0)
         dy0 = dgrad(dy1, Wr1x_ref[...])  # [N, H]
-        dx = dgrad(dpre_dens, Wd_ref[...]) + dgrad(dy0, Wr0_ref[...])
+        if dims.dens_vpu:
+            # rank-1 dgrad as a VPU broadcast-multiply (1 useful MXU column)
+            dx = (
+                dpre_dens * Wd_ref[...].astype(f32)[:, 0][None, :]
+                + dgrad(dy0, Wr0_ref[...])
+            )
+        else:
+            dx = dgrad(dpre_dens, Wd_ref[...]) + dgrad(dy0, Wr0_ref[...])
 
         # head weight grads
         def acc(ref, val, first=is_first):
@@ -207,7 +231,14 @@ def _bwd_kernel(dims: FieldDims):
             acc(dWr2_ref, outer(y1, dfeat.astype(bf)))
             acc(dWr1x_ref, outer(y0b, dy1.astype(bf)))
             acc(dWr0_ref, outer(x7, dy0.astype(bf)))
-            acc(dWd_ref, outer(x7, dpre_dens.astype(bf)))
+            if dims.dens_vpu:
+                # [384,1] outer as a VPU multiply-reduce over the tile
+                acc(
+                    dWd_ref,
+                    jnp.sum(x7.astype(f32) * dpre_dens, axis=0)[:, None],
+                )
+            else:
+                acc(dWd_ref, outer(x7, dpre_dens.astype(bf)))
         acc(dbr2_ref, jnp.sum(dfeat, axis=0))
         acc(dbr0_ref, jnp.sum(dy0, axis=0))
         acc(dbd_ref, jnp.sum(dpre_dens, axis=0))
@@ -249,7 +280,10 @@ def _bwd_kernel(dims: FieldDims):
         if dims.embed_in_kernel:
             dembed_ref[0] = _embed_bwd_tile(pts, dembed_acc, dims).reshape(TR, S, 3)
         else:
-            dembed_ref[0] = dembed_acc.reshape(TR, S, De)
+            # cotangent dtype follows the primal embed (bf16 when the model
+            # feeds the kernel bf16): halves the write + the whole XLA-side
+            # dembed chain (face+eyes add, slice, dpts) downstream
+            dembed_ref[0] = dembed_acc.reshape(TR, S, De).astype(dembed_ref.dtype)
 
     return kernel
 
@@ -303,7 +337,7 @@ def pallas_backward(
         assert dims.stash_acts and stash, "split_dw requires stash_acts"
         assert not dims.embed_in_kernel, "split_dw x embed_in_kernel unsupported"
         out_shapes = [
-            jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed
+            jax.ShapeDtypeStruct((B, R, S, Din), embed.dtype),  # dembed
             jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
             jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
             jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0
@@ -338,7 +372,9 @@ def pallas_backward(
         ]
     else:
         out_shapes = [
-            jax.ShapeDtypeStruct((B, R, S, Din), f32),  # dembed (dpts if fused)
+            jax.ShapeDtypeStruct(
+                (B, R, S, Din), f32 if dims.embed_in_kernel else embed.dtype
+            ),  # dembed (f32 dpts if fused)
             jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals
             jax.ShapeDtypeStruct((B, R, S), f32),  # dzdists
             jax.ShapeDtypeStruct((B, 1, H), f32),  # dcb0

@@ -131,6 +131,7 @@ class GazeNeRF(nn.Module):
             vmem_limit_mb=cfg.pallas_vmem_mb,
             stash_acts=cfg.pallas_stash_acts or cfg.pallas_split_dw,
             split_dw=cfg.pallas_split_dw,
+            dens_vpu=cfg.pallas_dens_vpu,
         )
         return dims if R % dims.tile_rays == 0 else None
 
@@ -161,6 +162,12 @@ class GazeNeRF(nn.Module):
                         embed_in_kernel=True, n_freqs=cfg.vp_n_freqs
                     )
                     x_in = samples.pts
+                elif cfg.pallas_embed_bf16:
+                    # feed the kernel bf16 (it casts internally anyway, so
+                    # forward values are unchanged) — the dembed cotangent
+                    # then comes back bf16, halving the kernel write + the
+                    # whole XLA-side dembed/dpts chain
+                    x_in = embed.astype(jnp.bfloat16)
                 feat_int, bg_alpha, depth, w = field.fused_render(
                     x_in, shape_ext_code, appea_code,
                     samples.zvals, samples.z_dists, dims,

@@ -171,6 +171,36 @@ def test_split_dw_backward_matches_fused(rng):
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
 
 
+def test_dens_vpu_matches_mxu(rng):
+    """dens_vpu=True (1-wide density head as VPU broadcast/reduce) == the
+    MXU-matmul formulation for outputs AND gradients (slightly higher
+    precision: f32 products vs bf16 matmul, hence the loose-ish atol)."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True, stash_acts=True)
+
+    out_m = fused_field_render(params, *args, dims)
+    out_v = fused_field_render(params, *args, dims._replace(dens_vpu=True))
+    for a, b in zip(out_m, out_v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    def make_loss(d):
+        def loss(params, embed, sc, ac):
+            f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, d)
+            return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+        return loss
+
+    g_m = jax.grad(make_loss(dims), argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    g_v = jax.grad(make_loss(dims._replace(dens_vpu=True)), argnums=(0, 1, 2, 3))(
+        params, embed, sc, ac
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_m), jax.tree_util.tree_leaves(g_v)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-3)
+
+
 def test_embed_in_kernel_matches_precomputed(rng):
     """embed_in_kernel=True (raw pts in, dpts out) == precomputed-embed path
     for both outputs and gradients (incl. the pts cotangent vs XLA autodiff
