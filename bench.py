@@ -47,7 +47,10 @@ def main():
             pallas_vmem_mb=100,
         ),
         loss=LossConfig(use_vgg_loss=False),
-        train=TrainConfig(batch_size=B),
+        # K=8 steps per dispatch: the loader-fed phase pays per-dispatch
+        # tunnel latency once per 8 batches (round-4 fix for the 25K-vs-85K
+        # loader-fed gap, PERF_NOTES.md round 4)
+        train=TrainConfig(batch_size=B, steps_per_dispatch=8),
     )
 
     d = tempfile.mkdtemp()
@@ -90,29 +93,60 @@ def main():
     rays = B * cfg.model.featmap_size**2
     rays_per_sec = rays / dt
 
-    # loader-fed phase: fresh batches through BatchLoader + device_prefetch
-    # + real H2D transfers feeding dispatched steps (the integrated input-
-    # pipeline number; tools/bench_loader.py measures the loader alone)
-    from gazenerf_tpu.data.h5_dataset import device_prefetch
-
+    # loader-fed phase: fresh batches through BatchLoader -> stacked K=8
+    # multi-step dispatches -> real H2D transfers, measured through the REAL
+    # epoch driver (Trainer.train_epoch — the exact path `cli.train` runs).
+    # Round 3 measured 25K here vs 85K scan-fed; the per-step host sync +
+    # one-dispatch-per-batch pattern was the gap (VERDICT round 3 #1).
     write_synthetic_subject(d, num_frames=32, img_size=cfg.model.pred_img_size,
                             subject="subject0001.h5", seed=1)
     ds2 = GazeH5Dataset(d, shuffle=False)
-    loader = BatchLoader(ds2, batch_size=B, num_workers=4, prefetch=3)
-    # steps_per_epoch independent of len: reuse trainer state, 1 step per batch
-    step1 = tr.train_step
-    state2 = tr.state
-    # warm epoch (page cache + compile already done above)
-    for b2 in device_prefetch(loader):
-        state2, l2 = step1(state2, b2)
-    jax.block_until_ready(l2["total_loss"])
-    t0 = time.time()
-    n_steps = 0
-    for b2 in device_prefetch(loader):
-        state2, l2 = step1(state2, b2)
-        n_steps += 1
-    np.asarray(l2["total_loss"])
-    loader_fed = rays * n_steps / (time.time() - t0)
+    loader = BatchLoader(ds2, batch_size=B, num_workers=4, prefetch=6)
+    tr.train_epoch(loader, epoch=0)  # warm: multi-step compile + page cache
+    best_lf = float("inf")
+    for _ in range(2):
+        s = tr.train_epoch(loader, epoch=0)
+        best_lf = min(best_lf, s["seconds"] / max(s["batches"], 1))
+    loader_fed = rays / best_lf
+
+    # deep-march phase: the BASELINE.json-named workload — fwd+bwd at a
+    # 256-sample ray march (ray_chunk bounds the live stash so S=256 fits
+    # in HBM; models/gaze_nerf.py:189-242)
+    cfg256 = Config(
+        model=ModelConfig(
+            compute_dtype="bfloat16",
+            renderer_dtype="bfloat16",
+            remat_fields=False,
+            num_sample_coarse=256,
+            ray_chunk=1024,
+            pallas_stash_acts=True,
+            pallas_bwd_tile_rays=16,
+            pallas_vmem_mb=100,
+        ),
+        loss=LossConfig(use_vgg_loss=False),
+        train=TrainConfig(batch_size=B),
+    )
+    tr256 = Trainer(cfg256, train_len=B, steps_per_epoch=100)
+    step256 = tr256.train_step
+    N256 = 5
+
+    @jax.jit
+    def run256(state):
+        def body(s, _):
+            s2, losses = step256(s, jb)
+            return s2, losses["total_loss"]
+
+        return jax.lax.scan(body, state, None, length=N256)
+
+    state256, l256 = run256(tr256.state)
+    jax.block_until_ready(l256)
+    best256 = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        state256, l256 = run256(state256)
+        np.asarray(l256[-1])
+        best256 = min(best256, time.time() - t0)
+    deep_march = rays / (best256 / N256)
 
     print(
         json.dumps(
@@ -122,6 +156,7 @@ def main():
                 "unit": "rays/s (fwd+bwd, B=2, 64 samples, 1 chip)",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
                 "loader_fed_rays_per_sec": round(loader_fed, 1),
+                "deep_march_256_rays_per_sec": round(deep_march, 1),
             }
         )
     )

@@ -50,6 +50,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--vgg_importance", type=float, default=1.0)
     p.add_argument("--hier_sampling", type=str2bool, default=False)
     p.add_argument("--include_vd", type=str2bool, default=False)
+    # architecture scale (defaults = the flagship shape; small values give
+    # smoke-test runs on any host)
+    p.add_argument("--featmap_size", type=int, default=64)
+    p.add_argument("--pred_img_size", type=int, default=512)
+    p.add_argument("--num_sample_coarse", type=int, default=64)
+    p.add_argument("--mlp_hidden", type=int, default=384)
+    p.add_argument("--use_pallas", type=str2bool, default=True,
+                   help="fused Pallas field kernels (TPU only; auto-falls "
+                        "back to the XLA path elsewhere)")
     p.add_argument("--vgg_ckpt", type=str, default="",
                    help="torchvision VGG16 checkpoint: transplanted into the "
                         "frozen perceptual loss (training) and exact LPIPS "
@@ -61,6 +70,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["float32", "bfloat16"])
     p.add_argument("--renderer_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train steps per device dispatch: K>1 stacks K "
+                        "batches into one transfer + one scan-of-K jit, "
+                        "hiding per-dispatch host latency (PERF_NOTES.md)")
+    p.add_argument("--prefetch", type=int, default=4,
+                   help="host-side batches buffered ahead of the device")
     p.add_argument("--log", type=str2bool, default=False, help="wandb logging")
     p.add_argument("--debug_nans", type=str2bool, default=False,
                    help="jax.config.debug_nans — the reference's "
@@ -108,6 +123,11 @@ def config_from_args(args) -> Config:
             include_vd=args.include_vd,
             compute_dtype=args.compute_dtype,
             renderer_dtype=args.renderer_dtype,
+            featmap_size=getattr(args, "featmap_size", 64),
+            pred_img_size=getattr(args, "pred_img_size", 512),
+            num_sample_coarse=getattr(args, "num_sample_coarse", 64),
+            mlp_hidden=getattr(args, "mlp_hidden", 384),
+            use_pallas=getattr(args, "use_pallas", True),
         ),
         loss=LossConfig(
             eye_loss_importance=args.eye_loss_importance,
@@ -126,10 +146,12 @@ def config_from_args(args) -> Config:
             num_epochs=args.num_epochs,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
         ),
         data=DataConfig(
             dataset=args.dataset,
             img_dir=args.img_dir,
             num_workers=args.num_workers,
+            prefetch=getattr(args, "prefetch", 4),
         ),
     )

@@ -25,13 +25,54 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None) -> int:
+    from gazenerf_tpu.cli.common import str2bool
+
     p = argparse.ArgumentParser(description="Train GazeNeRF-TPU")
     add_common_args(p)
     p.add_argument("--subject", type=str, default=None,
                    help="restrict to a single subject file")
+    # -- multi-chip / multi-host launch (SURVEY.md §2.8; the reference is
+    # single-GPU, train.py:86-88 — every flag below is new TPU-first design)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh axis (0 = all remaining devices); "
+                        "dp*rp devices form the ('data','ray') mesh")
+    p.add_argument("--rp", type=int, default=1,
+                   help="ray-parallel mesh axis (shards the per-image ray "
+                        "march; no collectives until the featmap gather)")
+    p.add_argument("--coordinator", type=str, default="",
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total train processes (multi-host); each process "
+                        "loads its disjoint row slice of every global batch")
+    p.add_argument("--process_id", type=int, default=-1)
+    p.add_argument("--shard_offsets", type=str2bool, default=True,
+                   help="row-shard the per-sample latent-offset tables over "
+                        "the data axis (their grads are row-disjoint)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     apply_debug_flags(args)
+
+    # multi-host first (must precede any backend use), then the mesh
+    from gazenerf_tpu.parallel.mesh import init_distributed, make_mesh
+
+    if args.num_processes and args.num_processes > 1:
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+    import jax
+
+    mesh = None
+    if args.dp != 1 or args.rp != 1:
+        mesh = make_mesh(data_parallel=args.dp, ray_parallel=args.rp)
+        from gazenerf_tpu.config import ParallelConfig
+
+        cfg = cfg.replace(parallel=ParallelConfig(
+            data_parallel=mesh.shape["data"],
+            ray_parallel=mesh.shape["ray"],
+            shard_offsets=args.shard_offsets,
+        ))
+        assert cfg.train.batch_size % mesh.shape["data"] == 0, (
+            f"batch_size {cfg.train.batch_size} not divisible by the "
+            f"data-parallel axis {mesh.shape['data']}"
+        )
 
     configure_logging(os.path.join(cfg.train.checkpoint_dir, "train.log"))
     wandb = maybe_wandb_init(args.log, config=cfg.to_json())
@@ -43,12 +84,29 @@ def main(argv=None) -> int:
         frames_per_subject=cfg.data.frames_per_subject,
         seed=cfg.train.seed,
     )
+    shard = None
+    if jax.process_count() > 1:
+        shard = (jax.process_index(), jax.process_count())
     loader = BatchLoader(
-        ds, cfg.train.batch_size, num_workers=cfg.data.num_workers
+        ds, cfg.train.batch_size, num_workers=cfg.data.num_workers,
+        prefetch=cfg.data.prefetch, process_shard=shard,
     )
     logger.info("dataset: %d samples, %d batches/epoch", len(ds), len(loader))
+    if mesh is not None:
+        logger.info(
+            "mesh: data=%d x ray=%d over %d devices (%d processes)",
+            mesh.shape["data"], mesh.shape["ray"], mesh.size,
+            jax.process_count(),
+        )
 
-    trainer = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    trainer = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader),
+                      mesh=mesh)
+    if mesh is not None:
+        from gazenerf_tpu.parallel.sharding import shard_state
+
+        trainer.state = shard_state(
+            mesh, trainer.state, shard_offsets=cfg.parallel.shard_offsets
+        )
     if args.resume:
         from gazenerf_tpu.train.checkpoint import load_checkpoint
 

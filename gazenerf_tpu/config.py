@@ -86,6 +86,10 @@ class ModelConfig:
     # v5e (156 vs 139 ms/step: the 3B+1-row batch tiles worse through the
     # pixel-shuffle transposes than 4 small passes) — default off.
     batch_renderer_passes: bool = False
+    # batch only the three SAME-SHAPE foreground passes (face/eyes/merge,
+    # 3B rows — even MXU tiles, unlike the 3B+1 stack above) and render the
+    # 1-row bg featmap separately
+    batch_fg_passes: bool = False
     # fold each feat_layer into the preceding blur-shuffle per phase
     # (exact: channel mixing commutes with the per-channel stencil whose
     # taps sum to 1) — the stencil runs on the folded channel count and the
@@ -239,6 +243,11 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     checkpoint_every: int = 1  # epochs
     log_every: int = 300  # batches
+    # train steps executed per device dispatch: K>1 stacks K loader batches
+    # into one transfer and runs lax.scan of K steps inside one jit, hiding
+    # per-dispatch host latency (the loader-fed/scan-fed gap, PERF_NOTES.md).
+    # 1 = one dispatch per batch (finest logging granularity).
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

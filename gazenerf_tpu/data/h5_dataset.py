@@ -224,6 +224,22 @@ class GazeH5Dataset:
             lm.max() == lm.min() and rm.max() == rm.min()
         )
 
+    def valid_mask_index(self, idx: int) -> bool:
+        """Mask-only validity probe for dataset index ``idx`` — reads just the
+        three mask frames, so multi-host loaders can agree on the GLOBAL
+        skip-batch decision without decoding rows that belong to other
+        processes."""
+        if self.fixed_index is not None:
+            idx = self.fixed_index
+        si, fi = self.index[idx]
+        h = self._file(si)
+        hm = h["head_mask"][fi]
+        lm = h["left_eye_mask"][fi]
+        rm = h["right_eye_mask"][fi]
+        return (hm.max() != hm.min()) and not (
+            lm.max() == lm.min() and rm.max() == rm.min()
+        )
+
 
 def _collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
@@ -250,6 +266,7 @@ class BatchLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         skip_invalid: bool = True,
+        process_shard: Optional[Tuple[int, int]] = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -257,12 +274,47 @@ class BatchLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.skip_invalid = skip_invalid
+        # multi-host data parallelism: (process_id, num_processes).  Every
+        # process enumerates the SAME global batch schedule (same dataset
+        # order, same batch boundaries — ``batch_size`` stays the GLOBAL
+        # batch) but decodes only its contiguous row slice; the trainer
+        # reassembles the global array from the local shards via
+        # ``jax.make_array_from_process_local_data``.  Requires
+        # batch_size % num_processes == 0.
+        self.process_shard = process_shard
+        if process_shard is not None:
+            pid, nproc = process_shard
+            assert 0 <= pid < nproc, process_shard
+            assert batch_size % nproc == 0, (batch_size, nproc)
+            assert drop_last, "process_shard requires full (divisible) batches"
 
     def __len__(self) -> int:
         n = len(self.ds) // self.batch_size
         if not self.drop_last and len(self.ds) % self.batch_size:
             n += 1
         return n
+
+    def _local_rows(self, batch_indices: List[int]) -> List[int]:
+        """This process's contiguous slice of a global batch's dataset rows."""
+        if self.process_shard is None:
+            return batch_indices
+        pid, nproc = self.process_shard
+        per = self.batch_size // nproc
+        return batch_indices[pid * per : (pid + 1) * per]
+
+    def _batch_valid(self, global_indices, samples) -> bool:
+        """Degenerate-mask guard.  Sharded loaders must reach the skip
+        decision from the GLOBAL batch (identically on every process), so the
+        rows other processes decode are probed mask-only."""
+        if self.process_shard is None:
+            return all(self.ds.valid_mask_sample(s) for s in samples)
+        by_row = dict(zip(self._local_rows(global_indices), samples))
+        return all(
+            self.ds.valid_mask_sample(by_row[i])
+            if i in by_row
+            else self.ds.valid_mask_index(i)
+            for i in global_indices
+        )
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
@@ -285,22 +337,32 @@ class BatchLoader:
             # buffers more than a few batches ahead of the consumer.
             import collections
 
+            from concurrent.futures import CancelledError
+
             try:
                 inflight: "collections.deque" = collections.deque()
                 bi = 0
                 while bi < len(batches) or inflight:
                     while bi < len(batches) and len(inflight) < self.prefetch + 2:
-                        inflight.append(
-                            [pool.submit(self.ds.__getitem__, i) for i in batches[bi]]
-                        )
+                        inflight.append((
+                            batches[bi],
+                            [
+                                pool.submit(self.ds.__getitem__, i)
+                                for i in self._local_rows(batches[bi])
+                            ],
+                        ))
                         bi += 1
-                    futs = inflight.popleft()
+                    gi, futs = inflight.popleft()
                     if stop.is_set():
                         return
-                    samples = [f.result() for f in futs]
-                    if self.skip_invalid and not all(
-                        self.ds.valid_mask_sample(s) for s in samples
-                    ):
+                    try:
+                        samples = [f.result() for f in futs]
+                    except CancelledError:
+                        # consumer abandoned the epoch mid-flight: the pool
+                        # shutdown cancels queued decodes — a clean exit, not
+                        # an error to surface through the thread excepthook
+                        return
+                    if self.skip_invalid and not self._batch_valid(gi, samples):
                         continue
                     while not stop.is_set():
                         try:
@@ -330,7 +392,30 @@ class BatchLoader:
             pool.shutdown(wait=False, cancel_futures=True)
 
 
-def device_prefetch(loader, to_device=None, size: int = 2):
+def stack_batches(loader, k: int):
+    """Group ``k`` consecutive batches into one stacked dict (new leading
+    axis ``k``) for multi-step dispatch.
+
+    Through a high-latency device link, dispatching one jitted step per batch
+    leaves the chip idle between dispatches; stacking ``k`` host batches into
+    a single transfer + a single ``lax.scan``-of-``k``-steps dispatch
+    amortizes that latency (PERF_NOTES.md "measurement rules").  The trailing
+    ``len % k`` batches are yielded unstacked so no sample is dropped.
+
+    Yields ``(batch_dict, n)`` where ``n`` is the number of training batches
+    the dict holds: ``n == k`` means a stacked dict, ``n == 1`` a plain one.
+    """
+    buf: List[Dict[str, np.ndarray]] = []
+    for b in loader:
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([bb[key] for bb in buf]) for key in buf[0]}, k
+            buf = []
+    for b in buf:
+        yield b, 1
+
+
+def device_prefetch(loader, to_device=None, size: int = 3):
     """Double-buffer host->device transfer: upload batch i+1 while the step
     consumes batch i (SURVEY.md §2.8 async-data-loading row — the
     ``jax.device_put`` side of the pipeline).

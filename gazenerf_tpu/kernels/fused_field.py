@@ -229,7 +229,7 @@ def _field_kernel(dims: FieldDims):
         y0b = y.astype(bf)
         y = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
         y = jnp.maximum(y, 0.0).astype(bf)
-        if len(stash_refs) > 8:
+        if stash_refs:  # the stash is always the full 10 tensors
             stash_refs[8][0] = y0b.reshape(TR, S, H)
             stash_refs[9][0] = y.reshape(TR, S, H2)
         feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]

@@ -108,14 +108,10 @@ def _bwd_kernel(dims: FieldDims):
             # Mosaic overhead ~5 us dwarfs the pipelined HBM reads saved.)
             acts = [stash_refs[i][0].reshape(N, H) for i in range(8)]
             x7 = acts[7]
-            if len(stash_refs) > 8:
-                y0b = stash_refs[8][0].reshape(N, H)
-                y1 = stash_refs[9][0].reshape(N, H2)
-            else:  # defensive: heads absent from a caller-supplied stash
-                y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
-                y0b = y0.astype(bf)
-                y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
-                y1 = jnp.maximum(y1, 0.0).astype(bf)
+            # the forward always stashes all 10 tensors (fused_field.py
+            # _pallas_forward) — trunk x0..x7 plus the two head activations
+            y0b = stash_refs[8][0].reshape(N, H)
+            y1 = stash_refs[9][0].reshape(N, H2)
         else:
             acts = []
             x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]

@@ -251,6 +251,16 @@ class GazeNeRF(nn.Module):
                 from gazenerf_tpu.kernels.fused_field2 import fused_dual_render
                 from gazenerf_tpu.ops.integrate import Integrated
 
+                # the dual kernels implement neither the split-dW epilogue nor
+                # the VPU density head; clear those probe flags (and the stash
+                # split_dw would otherwise force) so an A/B of them against
+                # the dual path isn't silently a no-op
+                dims = dims._replace(
+                    split_dw=False,
+                    dens_vpu=False,
+                    stash_acts=cfg.pallas_stash_acts,
+                )
+
                 outs = fused_dual_render(
                     dict(self.fg_CD_predictor_face.flat),
                     dict(self.fg_CD_predictor_eyes.flat),
@@ -363,6 +373,19 @@ class GazeNeRF(nn.Module):
             merge_img_face = imgs[1 : 1 + B]
             merge_img_eyes = imgs[1 + B : 1 + 2 * B]
             merge_img = imgs[1 + 2 * B :]
+        elif cfg.batch_fg_passes:
+            # the three foreground maps share shape [B,F,F,C]: stacking them
+            # keeps every renderer matmul at 3B rows (even tiles — the
+            # 3B+1 variant above tiled poorly, PERF_NOTES round 1); the
+            # constant 1-row bg featmap renders separately
+            stacked = jnp.concatenate(
+                [merge_featmap_face, eyes_planes, merge_featmap], axis=0
+            )
+            imgs = self.neural_render(stacked)
+            merge_img_face = imgs[:B]
+            merge_img_eyes = imgs[B : 2 * B]
+            merge_img = imgs[2 * B :]
+            bg_img = self.neural_render(bg_featmap)
         else:
             bg_img = self.neural_render(bg_featmap)
             merge_img_face = self.neural_render(merge_featmap_face)

@@ -169,10 +169,13 @@ def make_train_step(
     expr_fix: np.ndarray,
     disc: Optional[PatchGAN] = None,
     disc_optimizer=None,
-    donate: bool = True,
+    donate: Optional[bool] = True,
     mesh=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
     """Build the jitted train step (loss + grads + per-group Adam update).
+
+    ``donate=None`` returns the *unjitted* step body (for composition under
+    ``lax.scan`` — see :func:`make_multi_step`).
 
     With ``mesh`` (axes ``("data", "ray")``), per-ray tensors are constrained
     to ``P("data", "ray")`` inside the step so the 4096-ray march shards over
@@ -304,9 +307,37 @@ def make_train_step(
         )
         return new_state, losses
 
+    if donate is None:  # unjitted body (for scan composition / explicit jit)
+        return step_fn
     if donate:
         return jax.jit(step_fn, donate_argnums=(0,))
     return jax.jit(step_fn)
+
+
+def make_multi_step(step_body, donate: bool = True):
+    """K train steps per dispatch: ``lax.scan`` of the step body over a
+    stacked batch (leading axis K).
+
+    One dispatch + one H2D transfer drive K optimizer steps, so per-dispatch
+    host/link latency is paid once per K batches instead of per batch — the
+    loader-fed path then tracks the scan-fed device truth (PERF_NOTES.md
+    round 4; the reference pays a host sync every step,
+    trainer/gazenerf_trainer.py:578, which a TPU-native trainer must not).
+    Returns the final state and the per-step ``total_loss`` vector (K,), kept
+    on device so the epoch loop can accumulate without a host sync.
+    """
+
+    def multi_fn(state, stacked_batch, eye_imp=None):
+        def body(s, b):
+            s2, losses = step_body(s, b, eye_imp)
+            return s2, losses["total_loss"]
+
+        state, tl = jax.lax.scan(body, state, stacked_batch)
+        return state, tl
+
+    if donate:
+        return jax.jit(multi_fn, donate_argnums=(0,))
+    return jax.jit(multi_fn)
 
 
 def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
@@ -418,12 +449,38 @@ class Trainer:
             disc_batch_stats=disc_stats,
             disc_opt_state=disc_opt_state,
         )
-        self.train_step = make_train_step(
+        self._step_body = make_train_step(
             cfg, self.model, self.optimizer, self.frozen, self.expr_fix,
-            disc=disc, disc_optimizer=disc_opt, mesh=mesh,
+            disc=disc, disc_optimizer=disc_opt, mesh=mesh, donate=None,
         )
+        self.train_step = jax.jit(self._step_body, donate_argnums=(0,))
+        self._multi_step = None  # built on first K>1 epoch
         self.eval_step = make_eval_step(cfg, self.model, self.expr_fix)
         self.history = []
+
+    @property
+    def multi_step(self):
+        if self._multi_step is None:
+            self._multi_step = make_multi_step(self._step_body)
+        return self._multi_step
+
+    def _to_device(self, stacked: bool = False):
+        """Batch H2D placement: plain transfer single-device, row-sharded
+        ``P("data")`` (with a leading dispatch axis when stacked) on a mesh;
+        multi-host processes assemble the global batch from their local
+        shard via ``make_array_from_process_local_data``."""
+        if self.mesh is None:
+            return None  # device_prefetch default: jnp.asarray per leaf
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "data") if stacked else P("data")
+        sh = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            return lambda b: {
+                k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+                for k, v in b.items()
+            }
+        return lambda b: {k: jax.device_put(v, sh) for k, v in b.items()}
 
     def train_epoch(
         self,
@@ -432,7 +489,17 @@ class Trainer:
         wandb=None,
         log_images_every: int = 20,
     ) -> Dict[str, float]:
-        total, n = 0.0, 0
+        """One epoch over ``loader``.
+
+        Host-sync discipline (unlike the reference, which syncs every step via
+        ``loss.item()`` — trainer/gazenerf_trainer.py:578): per-step losses
+        stay on device and are reduced in ONE sync at epoch end, so dispatches
+        pipeline freely through the device link.  With
+        ``cfg.train.steps_per_dispatch = K > 1``, K loader batches are stacked
+        into one transfer and one scan-of-K-steps dispatch
+        (:func:`make_multi_step`); wandb logging then syncs once per dispatch,
+        not per batch.
+        """
         t0 = time.time()
         # gradual-loss schedule: the reference bumps eye_loss_importance by
         # +30 after every epoch (losses/gazenerf_loss.py:255-261, driven from
@@ -442,35 +509,64 @@ class Trainer:
             eye_imp = jnp.float32(
                 self.cfg.loss.eye_loss_importance + 30.0 * epoch
             )
-        from gazenerf_tpu.data.h5_dataset import device_prefetch
+        from gazenerf_tpu.data.h5_dataset import device_prefetch, stack_batches
 
-        for jb in device_prefetch(loader):
-            if eye_imp is None:
-                self.state, losses = self.train_step(self.state, jb)
+        K = max(1, self.cfg.train.steps_per_dispatch)
+        td_one = self._to_device(stacked=False) or (
+            lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        td_stack = self._to_device(stacked=True) or (
+            lambda b: {k: jnp.asarray(v) for k, v in b.items()}
+        )
+
+        def to_dev(item):
+            b, n_in = item
+            return (td_stack(b) if n_in > 1 else td_one(b)), n_in
+
+        gen = stack_batches(loader, K) if K > 1 else ((b, 1) for b in loader)
+
+        loss_parts = []  # device scalars: summed in one op at epoch end
+        n = 0
+        last_jb = None
+        for jb, n_in in device_prefetch(gen, to_device=to_dev):
+            if n_in > 1:
+                self.state, tl = self.multi_step(self.state, jb, eye_imp)
+                loss_parts.append(tl.sum())
+                batch_loss = tl  # (K,) device vector
+                last_jb = {k: v[-1] for k, v in jb.items()}
             else:
-                self.state, losses = self.train_step(self.state, jb, eye_imp)
-            total += float(losses["total_loss"])
-            # visual QA every N batches (the reference's main correctness
+                if eye_imp is None:
+                    self.state, losses = self.train_step(self.state, jb)
+                else:
+                    self.state, losses = self.train_step(self.state, jb, eye_imp)
+                loss_parts.append(losses["total_loss"])
+                batch_loss = losses["total_loss"]
+                last_jb = jb
+            # visual QA every N dispatches (the reference's main correctness
             # instrument — trainer/gazenerf_trainer.py:530-531 via
-            # utils/logging.py:41-98 log_all_images)
+            # utils/logging.py:41-98 log_all_images).  Only the logging path
+            # pays a host sync.
             if wandb is not None:
-                wandb.log({"batch_loss": float(losses["total_loss"])})
-                if log_images_every and n % log_images_every == 0:
+                wandb.log({"batch_loss": float(jnp.mean(batch_loss))})
+                if log_images_every and (n // K) % log_images_every == 0:
                     from gazenerf_tpu.utils.logging import log_images
 
-                    _, pred = self.eval_step(self.state, jb)
+                    _, pred = self.eval_step(self.state, last_jb)
                     log_images(
                         wandb,
                         "train",
                         {
                             "pred": np.asarray(pred[0]),
-                            "gt": np.asarray(jb["image"][0]),
+                            "gt": np.asarray(last_jb["image"][0]),
                             "head_mask": np.asarray(
-                                jb["head_mask"][0]
+                                last_jb["head_mask"][0]
                             )[..., None].repeat(3, -1),
                         },
                     )
-            n += 1
+            n += n_in
+        total = (
+            float(jnp.stack(loss_parts).sum()) if loss_parts else 0.0
+        )  # the epoch's ONE host sync
         dt = time.time() - t0
         summary = {
             "epoch": epoch,

@@ -468,3 +468,33 @@ def test_fused_renderer_mode_matches_phase_gm():
     g2 = jax.grad(lambda p: jnp.sum(jnp.sin(m2.apply(p, x))))(p1)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_embed_bf16_backward_matches_f32_embed(rng):
+    """pallas_embed_bf16 semantics: the kernel gets a bf16 embed (forward
+    values unchanged — it casts internally anyway) and returns a bf16 dembed
+    cotangent.  Gradients must track the f32-embed path at bf16 resolution
+    (ADVICE round 3: this flag had no coverage)."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(use_pallas_bwd=True, stash_acts=True)
+
+    def loss(params, embed, sc, ac):
+        f, bga, dep, w = fused_field_render(
+            params, embed, sc, ac, zvals, zdists, dims
+        )
+        return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+    g_f32 = jax.grad(loss, argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    # bf16 embed in: the model feeds embed.astype(bf16) when the flag is set
+    # (models/gaze_nerf.py _render_branch)
+    g_b16 = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, embed.astype(jnp.bfloat16), sc, ac
+    )
+    assert g_b16[1].dtype == jnp.bfloat16
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_f32), jax.tree_util.tree_leaves(g_b16)
+    ):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-2)

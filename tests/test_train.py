@@ -426,3 +426,40 @@ def test_index_policy_per_dataset(tmp_path):
     ds3 = GazeH5Dataset(d2, split="val", num_val_images=3, shuffle=False,
                         subjects=["subject0000.h5"])
     assert [fi for _, fi in ds3.index] == [0, 1, 2]
+
+
+def test_multi_step_dispatch_matches_single(loader_and_ds):
+    """steps_per_dispatch=K (scan-of-K per dispatch + remainder batches) is
+    numerically the SAME training as one dispatch per batch."""
+    loader, ds = loader_and_ds
+    cfg1 = tiny_config()
+    cfgK = cfg1.replace(train=TrainConfig(
+        batch_size=2, lr=1e-3, steps_per_dispatch=2))
+    # 3 batches/epoch -> one stacked K=2 dispatch + one remainder batch
+    tr1 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
+    trK = Trainer(cfgK, train_len=len(ds), steps_per_epoch=len(loader))
+    s1 = tr1.train_epoch(loader, 0)
+    sK = trK.train_epoch(loader, 0)
+    assert s1["batches"] == sK["batches"] == 3
+    np.testing.assert_allclose(s1["loss"], sK["loss"], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        tr1.state.params, trK.state.params,
+    )
+    np.testing.assert_allclose(
+        tr1.state.offsets["iden"], trK.state.offsets["iden"], atol=1e-6
+    )
+    assert int(tr1.state.step) == int(trK.state.step) == 3
+
+
+def test_multi_step_gradual_loss(loader_and_ds):
+    """eye_imp rides into the scanned step as a traced scalar."""
+    loader, ds = loader_and_ds
+    cfg = tiny_config(is_gradual_loss=True)
+    cfg = cfg.replace(train=TrainConfig(
+        batch_size=2, lr=1e-3, steps_per_dispatch=3))
+    tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
+    s0 = tr.train_epoch(loader, 0)
+    s9 = tr.train_epoch(loader, 9)
+    assert np.isfinite(s0["loss"]) and np.isfinite(s9["loss"])
+    assert int(tr.state.step) == 6
