@@ -163,9 +163,20 @@ def main(argv=None) -> int:
                    help="personal_calibration: directory for the synthesized "
                         "h5 files (reference metrics_utils.py:443-447)")
     p.add_argument("--num_fit_images", type=int, default=5,
-                   help="personal_calibration: images fitted per subject")
+                   help="personal_calibration: images fitted per subject "
+                        "(random draw per iteration, reference "
+                        "metrics_utils.py:437-440)")
+    p.add_argument("--num_iterations", type=int, default=1,
+                   help="personal_calibration: calibration rounds per "
+                        "subject, each with a fresh random fit set "
+                        "(reference metrics_utils.py:431)")
     p.add_argument("--fit_steps", type=int, default=50)
     p.add_argument("--max_pairs", type=int, default=20)
+    p.add_argument("--num_eval_images", type=int, default=200,
+                   help="val images swept per subject by the consistency / "
+                        "personal-calibration protocols (the reference's "
+                        "200-image val loader — metrics_utils.py:433,633); "
+                        "lower for smoke runs")
     p.add_argument("--estimator_ckpt", type=str, default="",
                    help="torch ResNet50 gaze estimator checkpoint")
     p.add_argument("--identity_embed_ckpt", type=str, default="",
@@ -249,7 +260,12 @@ def main(argv=None) -> int:
         )
         loader = BatchLoader(ds, 1, num_workers=1, skip_invalid=False)
         batches = []
-        limit = args.max_pairs if use_target else 2 * args.max_pairs
+        if use_target:
+            limit = args.max_pairs
+        elif args.evaluation_type in ("consistency", "personal_calibration"):
+            limit = args.num_eval_images
+        else:
+            limit = 2 * args.max_pairs
         for i, b in enumerate(loader):
             if i >= limit:
                 break
@@ -331,30 +347,25 @@ def main(argv=None) -> int:
                 }
             res = {"per_pair": per_pair, "overall": overall}
         else:  # personal_calibration
-            import os
+            from gazenerf_tpu.eval.protocols import (
+                evaluate_personal_calibration_sweep,
+            )
 
-            from gazenerf_tpu.eval.protocols import evaluate_personal_calibration
-
+            cal_rng = np.random.default_rng(cfg.train.seed)
             per_subject = {}
             for s in subjects:
                 ctx = make_ctx(kind, s)
                 batches = subject_batches(kind, ddir, s)
                 if not batches:
                     continue
-                fit_idx = list(range(min(args.num_fit_images, len(batches))))
-                out_path = None
-                if args.calib_out_dir:
-                    os.makedirs(args.calib_out_dir, exist_ok=True)
-                    out_path = os.path.join(
-                        args.calib_out_dir,
-                        f"{s.replace('.h5','')}_nsample_{len(fit_idx)}_iter_0.h5",
-                    )
-                out = evaluate_personal_calibration(
-                    ctx, batches, fit_idx, out_h5_path=out_path
+                per_subject[s] = evaluate_personal_calibration_sweep(
+                    ctx, batches,
+                    num_fit_images=args.num_fit_images,
+                    num_iterations=args.num_iterations,
+                    rng=cal_rng,
+                    out_dir=args.calib_out_dir or None,
+                    subject=s,
                 )
-                per_subject[s] = {
-                    "num_frames": out["num_frames"], "h5_path": out["h5_path"]
-                }
             res = {"per_subject": per_subject}
         if identity_pipeline is not None:
             res["identity_similarity_valid"] = identity_valid

@@ -417,6 +417,48 @@ def evaluate_personal_calibration(
     }
 
 
+def evaluate_personal_calibration_sweep(
+    ctx: EvalContext,
+    batches: List[Dict[str, np.ndarray]],
+    num_fit_images: int,
+    num_iterations: int = 1,
+    rng: Optional[np.random.Generator] = None,
+    out_dir: Optional[str] = None,
+    subject: str = "subject",
+) -> Dict[str, Dict[str, object]]:
+    """The reference's per-subject calibration ITERATION structure
+    (reference utils/metrics_utils.py:431-446): ``num_iterations`` rounds,
+    each drawing ``num_fit_images`` RANDOM fit indices (with replacement,
+    like ``random.randint(0, 199)``) from the val sweep and writing
+    ``<subj>_nsample_N_iter_K.h5``.  ``rng`` seeds the draw (the reference
+    uses the global ``random`` module; here the draw is explicit and
+    reproducible)."""
+    import os
+
+    rng = rng or np.random.default_rng(0)
+    out: Dict[str, Dict[str, object]] = {}
+    for it in range(num_iterations):
+        n_fit = min(num_fit_images, len(batches))
+        fit_idx = [int(i) for i in rng.integers(0, len(batches), size=n_fit)]
+        h5_path = None
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            h5_path = os.path.join(
+                out_dir,
+                f"{subject.replace('.h5', '')}_nsample_{num_fit_images}"
+                f"_iter_{it}.h5",
+            )
+        r = evaluate_personal_calibration(
+            ctx, batches, fit_idx, out_h5_path=h5_path
+        )
+        out[f"iter_{it}"] = {
+            "num_frames": r["num_frames"],
+            "h5_path": r["h5_path"],
+            "fit_indices": fit_idx,
+        }
+    return out
+
+
 def evaluate_consistency(
     ctx: EvalContext,
     batches: List[Dict[str, np.ndarray]],

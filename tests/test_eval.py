@@ -350,3 +350,30 @@ def test_split_target_batch(tmp_path):
     assert pair["input"]["image"].shape == pair["target"]["image"].shape
     assert "landmarks" in pair["target"] and "inmat" in pair["target"]
     assert int(pair["target"]["sample_idx"][0]) == 2
+
+
+def test_personal_calibration_iteration_sweep(setup, tmp_path):
+    """Reference iteration structure (utils/metrics_utils.py:431-446): N
+    rounds per subject, each with a FRESH random fit set (with replacement),
+    iter_K file naming."""
+    import h5py
+
+    from gazenerf_tpu.eval.protocols import evaluate_personal_calibration_sweep
+
+    cfg, tr, ctx, batches = setup
+    res = evaluate_personal_calibration_sweep(
+        ctx, batches[:4], num_fit_images=2, num_iterations=2,
+        rng=np.random.default_rng(7), out_dir=str(tmp_path), subject="subj.h5",
+    )
+    assert set(res) == {"iter_0", "iter_1"}
+    # different random fit sets across iterations (seeded draw; 2 of 4 with
+    # replacement — seed 7 gives distinct sets)
+    assert res["iter_0"]["fit_indices"] != res["iter_1"]["fit_indices"]
+    for it in ("iter_0", "iter_1"):
+        assert len(res[it]["fit_indices"]) == 2
+        assert all(0 <= i < 4 for i in res[it]["fit_indices"])
+        k = it.split("_")[1]
+        path = str(tmp_path / f"subj_nsample_2_iter_{k}.h5")
+        assert res[it]["h5_path"] == path
+        with h5py.File(path) as f:
+            assert f["face_patch"].shape == (4, 224, 224, 3)
