@@ -498,3 +498,45 @@ def test_embed_bf16_backward_matches_f32_embed(rng):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(a).max(), 1.0)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-2)
+
+
+def test_batch_fg_passes_matches_sequential(rng):
+    """batch_fg_passes (face/eyes/merge stacked into one 3B-row renderer
+    call, bg separate) == the 4-sequential-pass path, all output images."""
+    from gazenerf_tpu.config import ModelConfig
+    from gazenerf_tpu.models.gaze_nerf import GazeNeRF
+    from gazenerf_tpu.ops import pixel_grid
+
+    def build(fg):
+        cfg = ModelConfig(
+            num_sample_coarse=8, featmap_size=16, pred_img_size=64,
+            mlp_hidden=32, use_pallas=False, batch_fg_passes=fg,
+        )
+        return GazeNeRF(cfg), cfg
+
+    model0, cfg = build(False)
+    model1, _ = build(True)
+    B, W = 2, cfg.featmap_size
+    xy = jnp.broadcast_to(jnp.asarray(np.asarray(pixel_grid(W)))[None], (B, W * W, 2))
+    R = jnp.asarray(
+        np.diag([1.0, -1.0, -1.0])[None].repeat(B, 0).astype(np.float32)
+    )
+    T3 = jnp.asarray(np.tile([0.0, 0.0, 10.0], (B, 1)).astype(np.float32)).reshape(
+        B, 3, 1
+    )
+    Kn = np.zeros((B, 3, 3), np.float32)
+    Kn[:, 0, 0] = Kn[:, 1, 1] = 0.05
+    Kn[:, 0, 2] = Kn[:, 1, 2] = -0.8
+    Kn[:, 2, 2] = 1
+    K = jnp.asarray(Kn)
+    sc = jnp.asarray(rng.standard_normal((B, 179)), jnp.float32) * 0.1
+    ac = jnp.asarray(rng.standard_normal((B, 127)), jnp.float32) * 0.1
+    gz = jnp.asarray([[0.2, -0.1], [-0.1, 0.3]], jnp.float32)
+    params = model0.init({"params": jax.random.PRNGKey(0)}, xy, sc, ac, gz, R, T3, K)
+
+    o0 = model0.apply(params, xy, sc, ac, gz, R, T3, K)["coarse_dict"]
+    o1 = model1.apply(params, xy, sc, ac, gz, R, T3, K)["coarse_dict"]
+    for k in ("merge_img", "merge_img_face", "merge_img_eyes", "bg_img"):
+        np.testing.assert_allclose(
+            np.asarray(o0[k]), np.asarray(o1[k]), atol=1e-6, err_msg=k
+        )
