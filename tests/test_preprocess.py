@@ -450,7 +450,7 @@ def test_xgaze_layout_roundtrip(tmp_path):
     # and the trainer-side dataset reads it
     ds = GazeH5Dataset(str(tmp_path), subjects=["subject0000.h5"], shuffle=False)
     s = ds[1]
-    assert int(s["cam_index"]) == 3
+    assert int(s["cam_index"][0]) == 3
     assert s["image"].shape == (64, 64, 3)
 
 
