@@ -118,11 +118,16 @@ def main():
     # Round 3 measured 25K here vs 85K scan-fed; the per-step host sync +
     # one-dispatch-per-batch pattern was the gap (VERDICT round 3 #1).
     if want("loader"):
+        # 64 frames = 4 K=8 dispatches/epoch, enough for the prefetched H2D
+        # of dispatch i+1 to overlap dispatch i's compute; uint8 on the wire
+        # (device_decode) keeps the transfer off the critical path
         write_synthetic_subject(
-            d, num_frames=32, img_size=cfg.model.pred_img_size,
+            d, num_frames=64, img_size=cfg.model.pred_img_size,
             subject="subject0001.h5", seed=1,
         )
-        ds2 = GazeH5Dataset(d, shuffle=False)
+        ds2 = GazeH5Dataset(
+            d, subjects=["subject0001.h5"], shuffle=False, device_decode=True
+        )
         loader = BatchLoader(ds2, batch_size=B, num_workers=4, prefetch=6)
         tr.train_epoch(loader, epoch=0)  # warm: multi-step compile + page cache
         best_lf = float("inf")

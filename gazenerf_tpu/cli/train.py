@@ -83,6 +83,9 @@ def main(argv=None) -> int:
         dataset=cfg.data.dataset,
         frames_per_subject=cfg.data.frames_per_subject,
         seed=cfg.train.seed,
+        # uint8 on the wire, normalized inside the jitted step (4.2x fewer
+        # H2D bytes; train/trainer.py decode_uint8_batch)
+        device_decode=True,
     )
     shard = None
     if jax.process_count() > 1:

@@ -85,6 +85,7 @@ class GazeH5Dataset:
         fixed_index: Optional[int] = None,
         evaluate: Optional[str] = None,
         target_index: Optional[Sequence[int]] = None,
+        device_decode: bool = False,
     ):
         assert h5py is not None, "h5py required for the HDF5 pipeline"
         self.data_dir = data_dir
@@ -105,6 +106,12 @@ class GazeH5Dataset:
         self._local = threading.local()
         self.fixed_index = fixed_index
         self.evaluate = evaluate
+        # ship image + masks as uint8 and normalize INSIDE the jitted step
+        # (train/trainer.py decode_uint8_batch): 4.2x fewer host->device
+        # bytes — the H2D payload, not dispatch latency, is what gates
+        # loader-fed throughput on a bandwidth-limited device link
+        # (PERF_NOTES.md round 4)
+        self.device_decode = device_decode
 
         # Per-dataset index policies (diff-verified against the four
         # reference dataset clones):
@@ -172,14 +179,23 @@ class GazeH5Dataset:
 
     def _read_frame(self, h: "h5py.File", fi: int) -> Dict[str, np.ndarray]:
         img = h["face_patch"][fi][:, :, ::-1]  # BGR->RGB (reference :331)
-        img = img.astype(np.float32) / 255.0
-
         head_mask = _erode2(h["head_mask"][fi])
+        if self.device_decode:
+            # uint8 on the wire; the step computes f32(x)/255 on device
+            img = np.ascontiguousarray(img)
+            lm_ = np.asarray(h["left_eye_mask"][fi], np.uint8)
+            rm_ = np.asarray(h["right_eye_mask"][fi], np.uint8)
+            hm_ = head_mask.astype(np.uint8)
+        else:
+            img = img.astype(np.float32) / 255.0
+            lm_ = h["left_eye_mask"][fi].astype(np.float32) / 255.0
+            rm_ = h["right_eye_mask"][fi].astype(np.float32) / 255.0
+            hm_ = head_mask.astype(np.float32) / 255.0
         sample = {
             "image": img,
-            "head_mask": head_mask.astype(np.float32) / 255.0,
-            "left_eye_mask": h["left_eye_mask"][fi].astype(np.float32) / 255.0,
-            "right_eye_mask": h["right_eye_mask"][fi].astype(np.float32) / 255.0,
+            "head_mask": hm_,
+            "left_eye_mask": lm_,
+            "right_eye_mask": rm_,
             "landmarks": h["facial_landmarks"][fi].astype(np.float32),
             "cam_index": np.asarray(h["cam_index"][fi]).reshape(-1)[:1],
             "pitchyaw": h["pitchyaw_head"][fi].astype(np.float32),
@@ -416,31 +432,58 @@ def stack_batches(loader, k: int):
 
 
 def device_prefetch(loader, to_device=None, size: int = 3):
-    """Double-buffer host->device transfer: upload batch i+1 while the step
-    consumes batch i (SURVEY.md §2.8 async-data-loading row — the
-    ``jax.device_put`` side of the pipeline).
+    """Background-thread host->device transfer: upload batches i+1..i+size
+    while the consumer computes on batch i (SURVEY.md §2.8
+    async-data-loading row — the ``jax.device_put`` side of the pipeline).
+
+    The uploads MUST run off the consumer thread: on a bandwidth-limited
+    device link ``device_put`` blocks for the transfer, and an in-thread
+    "prefetch" serializes transfer and compute (measured 135 -> ~105
+    ms/batch at full size, PERF_NOTES.md round 4).
 
     ``to_device`` maps a numpy batch dict to device arrays; defaults to
     ``jnp.asarray`` per leaf.
     """
-    import collections
-
     import jax.numpy as jnp
 
     if to_device is None:
         to_device = lambda b: {k: jnp.asarray(v) for k, v in b.items()}  # noqa: E731
 
-    buf = collections.deque()
-    it = iter(loader)
-    try:
-        for _ in range(size):
-            buf.append(to_device(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.popleft()
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    stop = threading.Event()
+    DONE = object()
+
+    def uploader():
         try:
-            buf.append(to_device(next(it)))
-        except StopIteration:
-            pass
-        yield out
+            for b in loader:
+                item = (to_device(b), None)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            tail = (DONE, None)
+        except BaseException as e:  # surface loader/transfer errors
+            tail = (DONE, e)
+        while not stop.is_set():
+            try:
+                q.put(tail, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=uploader, daemon=True)
+    t.start()
+    try:
+        while True:
+            item, err = q.get()
+            if item is DONE:
+                if err is not None:
+                    raise err
+                return
+            yield item
+    finally:
+        stop.set()

@@ -40,6 +40,20 @@ from gazenerf_tpu.train import state as state_lib
 from gazenerf_tpu.train.state import TrainState
 
 
+def decode_uint8_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Normalize uint8 image/mask leaves to f32/255 INSIDE the jitted step.
+
+    Pairs with ``GazeH5Dataset(device_decode=True)``: the loader ships
+    uint8 pixels (4.2x fewer H2D bytes — the transfer payload is what gates
+    loader-fed throughput on a bandwidth-limited link, PERF_NOTES.md round
+    4) and the cast+scale fuses into the step's first consumers on device.
+    f32(x)/255 reproduces the host-side conversion (same op, on device)."""
+    return {
+        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
+
+
 def scale_intrinsics_jnp(inmat: jnp.ndarray, img_size: int, featmap_size: int):
     """jnp twin of data.cameras.scale_intrinsics_to_featmap (reference :317-325)."""
     s = featmap_size / img_size
@@ -202,6 +216,7 @@ def make_train_step(
         batch: Dict[str, jnp.ndarray],
         eye_imp: Optional[jnp.ndarray] = None,
     ):
+        batch = decode_uint8_batch(batch)
         B = batch["image"].shape[0]
         xy = shard_rays(
             jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
@@ -353,6 +368,7 @@ def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
     def eval_fn(state: TrainState, batch):
         from gazenerf_tpu.losses.gazenerf_loss import masked_mean, region_masks
 
+        batch = decode_uint8_batch(batch)
         B = batch["image"].shape[0]
         xy = jnp.broadcast_to(jnp.asarray(xy_grid)[None], (B,) + xy_grid.shape)
         sc, ac, gz, R, T, K, _, _ = compose_codes_and_cams(

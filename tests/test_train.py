@@ -463,3 +463,32 @@ def test_multi_step_gradual_loss(loader_and_ds):
     s9 = tr.train_epoch(loader, 9)
     assert np.isfinite(s0["loss"]) and np.isfinite(s9["loss"])
     assert int(tr.state.step) == 6
+
+
+def test_device_decode_loader_matches_float(synth_dir):
+    """device_decode=True (uint8 on the wire, f32/255 inside the jitted
+    step) trains identically to the host-side float conversion."""
+    cfg = tiny_config()
+    ds_f = GazeH5Dataset(synth_dir, shuffle=False)
+    ds_u = GazeH5Dataset(synth_dir, shuffle=False, device_decode=True)
+    b_f = next(iter(BatchLoader(ds_f, batch_size=2, num_workers=1)))
+    b_u = next(iter(BatchLoader(ds_u, batch_size=2, num_workers=1)))
+    assert b_u["image"].dtype == np.uint8
+    assert b_u["head_mask"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        b_f["image"], b_u["image"].astype(np.float32) / 255.0
+    )
+
+    tr1 = Trainer(cfg, train_len=6, steps_per_epoch=3)
+    tr2 = Trainer(cfg, train_len=6, steps_per_epoch=3)
+    s1, l1 = tr1.train_step(tr1.state, {k: jnp.asarray(v) for k, v in b_f.items()})
+    s2, l2 = tr2.train_step(tr2.state, {k: jnp.asarray(v) for k, v in b_u.items()})
+    np.testing.assert_allclose(
+        float(l1["total_loss"]), float(l2["total_loss"]), rtol=1e-6
+    )
+    # fusion of the on-device cast/scale reorders a few reductions ->
+    # float-level noise only
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        s1.params, s2.params,
+    )
