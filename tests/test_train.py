@@ -492,3 +492,27 @@ def test_device_decode_loader_matches_float(synth_dir):
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
         s1.params, s2.params,
     )
+
+
+def test_device_prefetch_order_and_errors():
+    """Threaded device_prefetch preserves order and propagates producer
+    exceptions to the consumer."""
+    from gazenerf_tpu.data.h5_dataset import device_prefetch
+
+    items = [{"x": np.full((4,), i, np.float32)} for i in range(10)]
+    out = [int(b["x"][0]) for b in device_prefetch(items, size=3)]
+    assert out == list(range(10))
+
+    def boom():
+        yield {"x": np.zeros((2,), np.float32)}
+        raise RuntimeError("loader exploded")
+
+    it = device_prefetch(boom(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        next(it)
+
+    # early consumer abandonment doesn't hang (uploader unblocks via stop)
+    gen = device_prefetch(items, size=1)
+    next(gen)
+    gen.close()
