@@ -89,3 +89,92 @@ def test_two_process_cpu_collective(tmp_path):
             pytest.skip(f"cpu collectives unavailable: {out[-400:]}")
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert "dist ok" in out
+
+
+LOADER_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception:
+    pass
+
+from gazenerf_tpu.parallel.mesh import init_distributed
+
+pid = int(sys.argv[1])
+data_dir = sys.argv[3]
+init_distributed("localhost:%s" % sys.argv[2], num_processes=2, process_id=pid)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
+
+# every process enumerates the SAME global schedule but decodes only its
+# contiguous row slice of each batch (cli/train.py's multi-host loader)
+ds = GazeH5Dataset(data_dir, shuffle=False)
+sharded = BatchLoader(ds, batch_size=4, num_workers=1,
+                      process_shard=(pid, 2))
+full = BatchLoader(ds, batch_size=4, num_workers=1)
+
+devs = np.asarray(jax.devices()).reshape(2, -1)[:, :1]
+mesh = Mesh(devs.reshape(2), ("data",))
+sh = NamedSharding(mesh, P("data"))
+
+for local_b, full_b in zip(sharded, full):
+    assert local_b["image"].shape[0] == 2  # 4 global rows / 2 processes
+    # local slice must equal this process's rows of the global batch
+    np.testing.assert_array_equal(
+        local_b["image"], full_b["image"][pid * 2 : (pid + 1) * 2]
+    )
+    g = jax.make_array_from_process_local_data(
+        sh, np.asarray(local_b["image"]))
+    assert g.shape == full_b["image"].shape
+    got = float(jax.jit(jnp.sum)(g))
+    want = float(np.sum(full_b["image"], dtype=np.float64))
+    assert abs(got - want) < 1e-4 * abs(want), (got, want)
+print("loader dist ok", pid)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("SKIP_DISTRIBUTED_TEST") == "1",
+    reason="explicitly disabled",
+)
+def test_two_process_loader_shard_assembles_global_batch(tmp_path):
+    from gazenerf_tpu.data.synthetic import write_synthetic_subject
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    write_synthetic_subject(str(data_dir), num_frames=8, img_size=64)
+    port = "12941"
+    script = tmp_path / "worker.py"
+    script.write_text(LOADER_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), port, str(data_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("distributed init timed out in this environment")
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "UNIMPLEMENTED" in out:
+            pytest.skip(f"cpu collectives unavailable: {out[-400:]}")
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "loader dist ok" in out
