@@ -46,8 +46,12 @@ def maybe_wandb_init(enabled: bool, **kwargs):
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """[H, W, 3] float [0,1] -> uint8."""
-    return (np.asarray(img) * 255.0).clip(0, 255).astype(np.uint8)
+    """[H, W, 3] float [0,1] (or already-uint8, e.g. a ``device_decode``
+    loader batch) -> uint8."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        return img
+    return (img * 255.0).clip(0, 255).astype(np.uint8)
 
 
 def log_images(wandb, tag: str, images: Dict[str, Any], step: Optional[int] = None):
