@@ -360,13 +360,16 @@ class BatchLoader:
                 bi = 0
                 while bi < len(batches) or inflight:
                     while bi < len(batches) and len(inflight) < self.prefetch + 2:
-                        inflight.append((
-                            batches[bi],
-                            [
+                        try:
+                            futs = [
                                 pool.submit(self.ds.__getitem__, i)
                                 for i in self._local_rows(batches[bi])
-                            ],
-                        ))
+                            ]
+                        except RuntimeError:
+                            # pool shut down: the consumer abandoned the
+                            # epoch between our stop-check and this submit
+                            return
+                        inflight.append((batches[bi], futs))
                         bi += 1
                     gi, futs = inflight.popleft()
                     if stop.is_set():

@@ -26,8 +26,8 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--k", type=int, default=8, help="steps per dispatch")
     ap.add_argument("--pairs", type=int, default=2, help="protocol pairs")
     ap.add_argument("--fit_steps", type=int, default=10)
@@ -37,6 +37,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gazenerf_tpu.cli.common import setup_compilation_cache
+
+    setup_compilation_cache()
     from gazenerf_tpu.config import Config, LossConfig, ModelConfig, TrainConfig
     from gazenerf_tpu.data.h5_dataset import BatchLoader, GazeH5Dataset
     from gazenerf_tpu.data.synthetic import write_synthetic_subject
@@ -62,6 +65,7 @@ def main():
             pallas_stash_acts=True,
             pallas_bwd_tile_rays=16,
             pallas_vmem_mb=100,
+            pallas_dens_vpu=True,
         ),
         loss=LossConfig(use_vgg_loss=False),
         train=TrainConfig(batch_size=B, lr=1e-4,
@@ -74,7 +78,7 @@ def main():
     )
     t_data = time.time() - t0
 
-    ds = GazeH5Dataset(data_dir, shuffle=False)
+    ds = GazeH5Dataset(data_dir, shuffle=False, device_decode=True)
     loader = BatchLoader(ds, batch_size=B, num_workers=4, prefetch=6)
     tr = Trainer(cfg, train_len=len(ds), steps_per_epoch=len(loader))
 
