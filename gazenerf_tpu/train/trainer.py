@@ -541,15 +541,20 @@ class Trainer:
 
         gen = stack_batches(loader, K) if K > 1 else ((b, 1) for b in loader)
 
-        loss_parts = []  # device scalars: summed in one op at epoch end
+        loss_parts = []  # device scalars/vectors: reduced once at epoch end
         n = 0
-        last_jb = None
         for jb, n_in in device_prefetch(gen, to_device=to_dev):
             if n_in > 1:
                 self.state, tl = self.multi_step(self.state, jb, eye_imp)
-                loss_parts.append(tl.sum())
+                loss_parts.append(tl)
                 batch_loss = tl  # (K,) device vector
-                last_jb = {k: v[-1] for k, v in jb.items()}
+                # slice out the last batch only when the logging path below
+                # actually consumes it (each slice is a device op)
+                last_jb = (
+                    {k: v[-1] for k, v in jb.items()}
+                    if wandb is not None
+                    else None
+                )
             else:
                 if eye_imp is None:
                     self.state, losses = self.train_step(self.state, jb)
@@ -581,7 +586,9 @@ class Trainer:
                     )
             n += n_in
         total = (
-            float(jnp.stack(loss_parts).sum()) if loss_parts else 0.0
+            float(jnp.concatenate([x.reshape(-1) for x in loss_parts]).sum())
+            if loss_parts
+            else 0.0
         )  # the epoch's ONE host sync
         dt = time.time() - t0
         summary = {
