@@ -78,10 +78,7 @@ def main():
 
     tr = Trainer(cfg, train_len=B, steps_per_epoch=100)
 
-    # build a scanned N-step run from the same (unjitted would be ideal; the
-    # jitted step inlines fine under scan via closure)
-    from gazenerf_tpu.train.trainer import make_train_step
-
+    # scanned N-step run: the jitted step inlines fine under scan via closure
     step = tr.train_step
 
     N = 20

@@ -107,8 +107,15 @@ def main(argv=None) -> int:
     if mesh is not None:
         from gazenerf_tpu.parallel.sharding import shard_state
 
+        shard_offsets = cfg.parallel.shard_offsets
+        if shard_offsets and jax.process_count() > 1:
+            # row-sharding the offset tables would device_put onto
+            # non-addressable devices; replicate them across hosts instead
+            # (their grads stay row-disjoint either way)
+            logger.info("multi-host run: replicating offset tables")
+            shard_offsets = False
         trainer.state = shard_state(
-            mesh, trainer.state, shard_offsets=cfg.parallel.shard_offsets
+            mesh, trainer.state, shard_offsets=shard_offsets
         )
     if args.resume:
         from gazenerf_tpu.train.checkpoint import load_checkpoint

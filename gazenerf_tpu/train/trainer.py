@@ -19,10 +19,9 @@ accumulates CSV summaries, and checkpoints via orbax.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ from gazenerf_tpu.config import Config
 from gazenerf_tpu.losses.gazenerf_loss import compute_losses, discriminator_loss
 from gazenerf_tpu.models.discriminator import PatchGAN
 from gazenerf_tpu.models.gaze_nerf import GazeNeRF
-from gazenerf_tpu.models.vgg import GazeVGG, VGG16Features, normalize_imagenet
+from gazenerf_tpu.models.vgg import GazeVGG, VGG16Features
 from gazenerf_tpu.ops.image import resize_bilinear
 from gazenerf_tpu.ops.rays import pixel_grid
 from gazenerf_tpu.ops.rotation import euler_to_rotation

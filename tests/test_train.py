@@ -516,3 +516,26 @@ def test_device_prefetch_order_and_errors():
     gen = device_prefetch(items, size=1)
     next(gen)
     gen.close()
+
+
+def test_multi_step_dispatch_with_gan(loader_and_ds):
+    """The discriminator state (params/batch_stats/opt) threads correctly
+    through the scanned K-step dispatch: same result as per-batch dispatch."""
+    loader, ds = loader_and_ds
+    base = tiny_config(use_patch_gan_loss=True)
+    cfg1 = base.replace(train=TrainConfig(batch_size=2, lr=1e-3))
+    cfgK = base.replace(train=TrainConfig(
+        batch_size=2, lr=1e-3, steps_per_dispatch=3))
+    tr1 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
+    trK = Trainer(cfgK, train_len=len(ds), steps_per_epoch=len(loader))
+    s1 = tr1.train_epoch(loader, 0)
+    sK = trK.train_epoch(loader, 0)
+    np.testing.assert_allclose(s1["loss"], sK["loss"], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5),
+        tr1.state.disc_params, trK.state.disc_params,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5),
+        tr1.state.disc_batch_stats, trK.state.disc_batch_stats,
+    )

@@ -35,7 +35,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from gazenerf_tpu.cli.common import setup_compilation_cache
 
