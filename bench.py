@@ -143,11 +143,12 @@ def main():
             renderer_dtype="bfloat16",
             remat_fields=False,
             num_sample_coarse=256,
-            # deep-march memory plan: 512-ray chunks bound the HBM stash to
-            # ~2 GB/branch; bwd TR=8 keeps the 10 stash VMEM windows at
-            # ~31 MB (TR=16 needs 198 MB > the 128 MB physical VMEM)
+            # deep-march plan (PERF_NOTES round 4): the stash-acts backward
+            # LOSES at S=256 (its HBM stash traffic scales with S: 395.7 vs
+            # 365.5 ms) — recompute-backward + 512-ray chunks is both faster
+            # and memory-bounded; chunking measures FREE vs unchunked here
             ray_chunk=512,
-            pallas_stash_acts=True,
+            pallas_stash_acts=False,
             pallas_bwd_tile_rays=8,
             pallas_vmem_mb=110,
             pallas_dens_vpu=True,
