@@ -126,7 +126,9 @@ class ModelConfig:
     # the bwd kernel reads them instead of recomputing the forward in-tile:
     # trades ~3.8 GB/branch of pipelined HBM traffic for 1/3 of the
     # backward's MXU FLOPs (the bwd kernels are the step's dominant cost —
-    # 62 of 112 ms in the round-3 trace)
+    # 62 of 112 ms in the round-3 trace).  The stash traffic scales with
+    # num_sample_coarse: it WINS at S=64 (-13 ms) and LOSES at S=256
+    # (+30 ms) — keep False for deep marches (PERF_NOTES round 4 crossover)
     pallas_stash_acts: bool = False
     # backward kernel emits only the data-gradient chain (masked per-layer
     # dpre cotangents, bf16, to HBM); the weight gradients become one giant
