@@ -42,11 +42,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--resume", type=str, default="", help="checkpoint path")
+    # loss-stack defaults mirror the reference train.py argparse block
+    # (reference train.py:28,38-43; audited by tests/test_misc.py's
+    # default-recipe table)
     p.add_argument("--use_vgg_loss", type=str2bool, default=True)
-    p.add_argument("--use_l1_loss", type=str2bool, default=False)
+    p.add_argument("--use_l1_loss", type=str2bool, default=True)
     p.add_argument("--use_angular_loss", type=str2bool, default=False)
     p.add_argument("--use_patch_gan_loss", type=str2bool, default=False)
-    p.add_argument("--eye_loss_importance", type=float, default=25.0)
+    p.add_argument("--is_gradual_loss", type=str2bool, default=False)
+    p.add_argument("--eye_loss_importance", type=float, default=10.0)
     p.add_argument("--vgg_importance", type=float, default=1.0)
     p.add_argument("--hier_sampling", type=str2bool, default=False)
     p.add_argument("--include_vd", type=str2bool, default=False)
@@ -66,6 +70,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--gaze_ckpt", type=str, default="",
                    help="gaze-VGG checkpoint for the angular loss "
                         "(reference losses/gazenerf_loss.py:110-117)")
+    p.add_argument("--allow_random_frozen_nets", type=str2bool, default=False,
+                   help="let a perceptual/angular loss run against RANDOM "
+                        "frozen nets (no --vgg_ckpt/--gaze_ckpt): numerically "
+                        "meaningless for real training — tests/smoke only")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--renderer_dtype", type=str, default="bfloat16",
@@ -82,6 +90,41 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "set_detect_anomaly analogue (SURVEY.md §5)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the first epoch here")
+
+
+def check_frozen_ckpts(cfg: Config, allow_random: bool = False) -> None:
+    """Refuse to train/fit against RANDOM frozen perceptual nets.
+
+    The reference always loads pretrained weights into its loss stack
+    (torchvision VGG16 at losses/gazenerf_loss.py:49-52, the gaze-VGG ckpt at
+    :110-117); a run with ``use_vgg_loss``/``use_angular_loss`` but no
+    checkpoint here would silently optimize against random features.  CLIs
+    call this right after config assembly; ``--allow_random_frozen_nets``
+    (tests/smoke) downgrades the error to a loud warning.
+    """
+    missing = []
+    if cfg.loss.use_vgg_loss and not cfg.loss.vgg_ckpt:
+        missing.append("--use_vgg_loss is on but no --vgg_ckpt was given")
+    if cfg.loss.use_angular_loss and not cfg.loss.gaze_ckpt:
+        missing.append("--use_angular_loss is on but no --gaze_ckpt was given")
+    if not missing:
+        return
+    import logging
+
+    if allow_random:
+        for m in missing:
+            logging.getLogger(__name__).warning(
+                "%s: the frozen net is RANDOM-initialized — losses are "
+                "numerically meaningless (allowed by "
+                "--allow_random_frozen_nets)", m,
+            )
+        return
+    raise SystemExit(
+        "refusing to run with random frozen perceptual nets:\n  "
+        + "\n  ".join(missing)
+        + "\npass the checkpoint(s), turn the loss off, or (tests only) "
+        "--allow_random_frozen_nets true"
+    )
 
 
 def apply_debug_flags(args) -> None:
@@ -136,6 +179,7 @@ def config_from_args(args) -> Config:
             use_l1_loss=args.use_l1_loss,
             use_angular_loss=args.use_angular_loss,
             use_patch_gan_loss=args.use_patch_gan_loss,
+            is_gradual_loss=getattr(args, "is_gradual_loss", False),
             vgg_ckpt=getattr(args, "vgg_ckpt", ""),
             gaze_ckpt=getattr(args, "gaze_ckpt", ""),
         ),

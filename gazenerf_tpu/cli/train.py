@@ -50,6 +50,9 @@ def main(argv=None) -> int:
                         "the data axis (their grads are row-disjoint)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
+    from gazenerf_tpu.cli.common import check_frozen_ckpts
+
+    check_frozen_ckpts(cfg, args.allow_random_frozen_nets)
     apply_debug_flags(args)
 
     # multi-host first (must precede any backend use), then the mesh

@@ -194,7 +194,9 @@ class ModelConfig:
 class LossConfig:
     """Loss-stack knobs (reference losses/gazenerf_loss.py:190-236,450-468)."""
 
-    eye_loss_importance: float = 25.0
+    # reference train.py CLI defaults (train.py:28,38-43): the out-of-the-box
+    # Config IS the reference training recipe (VERDICT r4 #2)
+    eye_loss_importance: float = 10.0
     vgg_importance: float = 1.0
     use_vgg_loss: bool = True
     # pretrained frozen-net checkpoints for the loss stack (reference loads
@@ -202,10 +204,21 @@ class LossConfig:
     # 110-117); empty = random init (tests only)
     vgg_ckpt: str = ""
     gaze_ckpt: str = ""
-    use_l1_loss: bool = False
+    use_l1_loss: bool = True
     use_angular_loss: bool = False
     use_patch_gan_loss: bool = False
     is_gradual_loss: bool = False
+    # -- performance knobs (math-preserving unless noted) ------------------
+    # run all 6 perceptual images (3 pred/gt pairs) through ONE batched
+    # VGG16 apply instead of 6 separate forwards: identical values (convs
+    # are per-sample; the per-pair feature-L1 means are taken on slices of
+    # the batched features), ~one-third the kernel launches and far better
+    # MXU tiling at B=2 (PERF_NOTES round 5)
+    vgg_batched: bool = True
+    # compute dtype for the frozen VGG16/gaze nets in the LOSS stack
+    # ("float32" = reference-exact; bench uses bfloat16 — the frozen nets
+    # only shape gradients, and bf16 halves their HBM traffic)
+    vgg_dtype: str = "float32"
 
     # regularizer weights (reference losses/gazenerf_loss.py:456-468)
     w_cam_delta: float = 0.001

@@ -249,7 +249,12 @@ class GazeH5Dataset:
             idx = self.fixed_index
         si, fi = self.index[idx]
         h = self._file(si)
-        hm = h["head_mask"][fi]
+        # probe the ERODED head mask — the same tensor valid_mask_sample sees
+        # (reference erodes before the degeneracy check,
+        # datasets/eth_xgaze.py:338-339).  A raw-nonconstant mask that erodes
+        # to constant must produce the SAME verdict on every process, or
+        # sharded loaders diverge in batch schedule and the collectives hang.
+        hm = _erode2(np.asarray(h["head_mask"][fi]))
         lm = h["left_eye_mask"][fi]
         rm = h["right_eye_mask"][fi]
         return (hm.max() != hm.min()) and not (

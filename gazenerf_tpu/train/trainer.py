@@ -46,11 +46,28 @@ def decode_uint8_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     uint8 pixels (4.2x fewer H2D bytes — the transfer payload is what gates
     loader-fed throughput on a bandwidth-limited link, PERF_NOTES.md round
     4) and the cast+scale fuses into the step's first consumers on device.
-    f32(x)/255 reproduces the host-side conversion (same op, on device)."""
+    f32(x)/255 reproduces the host-side conversion (same op, on device).
+
+    Decoding is keyed on an explicit image/mask allowlist, NOT on dtype:
+    reference-produced h5 files store ``cam_index``/``frame_index`` as uint8
+    (reference dataset_pre_processing.py:263-270), and a dtype-keyed decode
+    would silently turn those ids into ~0.01-scale floats for any consumer
+    (the eval protocols read ``cam_index``)."""
     return {
-        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        k: (
+            v.astype(jnp.float32) / 255.0
+            if v.dtype == jnp.uint8 and k in _UINT8_IMAGE_KEYS
+            else v
+        )
         for k, v in batch.items()
     }
+
+
+_UINT8_IMAGE_KEYS = frozenset(
+    k
+    for base in ("image", "head_mask", "left_eye_mask", "right_eye_mask")
+    for k in (base, "target_" + base)
+)
 
 
 def scale_intrinsics_jnp(inmat: jnp.ndarray, img_size: int, featmap_size: int):
@@ -110,6 +127,16 @@ def compose_codes_and_cams(
     return shape_code, appea_code, gaze_code, Rmats, Tvecs, inv_inmats, opt_code_dict, delta_cam
 
 
+def _warn_random(which: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s has NO checkpoint: random-initialized, numerically meaningless "
+        "for a real training run (cli.train refuses this without "
+        "--allow_random_frozen_nets)", which,
+    )
+
+
 def _torch_sd(path: str):
     """Load a torch checkpoint into a numpy state dict (reference stores the
     gaze-VGG under ``model_state`` — losses/gazenerf_loss.py:113-117)."""
@@ -138,8 +165,9 @@ class FrozenNets:
         self.vgg_params = None
         self.gaze = None
         self.gaze_params = None
+        vgg_dtype = jnp.dtype(getattr(cfg.loss, "vgg_dtype", "float32"))
         if cfg.loss.use_vgg_loss:
-            self.vgg = VGG16Features()
+            self.vgg = VGG16Features(dtype=vgg_dtype)
             if cfg.loss.vgg_ckpt:
                 from gazenerf_tpu.models.vgg import vgg_features_from_torch
 
@@ -147,10 +175,11 @@ class FrozenNets:
                     "params": vgg_features_from_torch(_torch_sd(cfg.loss.vgg_ckpt))
                 }
             else:
+                _warn_random("VGG16 (perceptual loss)")
                 k = jax.random.normal(rng, (1, 224, 224, 3))
                 self.vgg_params = jax.jit(self.vgg.init)(rng, k)
         if cfg.loss.use_angular_loss:
-            self.gaze = GazeVGG()
+            self.gaze = GazeVGG(dtype=vgg_dtype)
             if cfg.loss.gaze_ckpt:
                 from gazenerf_tpu.models.vgg import gaze_vgg_from_torch
 
@@ -158,6 +187,7 @@ class FrozenNets:
                     "params": gaze_vgg_from_torch(_torch_sd(cfg.loss.gaze_ckpt))
                 }
             else:
+                _warn_random("gaze-VGG (angular loss)")
                 k = jax.random.normal(rng, (1, 224, 224, 3))
                 self.gaze_params = jax.jit(self.gaze.init)(rng, k)
 
@@ -250,6 +280,7 @@ def make_train_step(
 
         # -- optional discriminator update on the detached prediction -------
         disc_fn = None
+        d_loss = None
         new_disc_params = state.disc_params
         new_disc_stats = state.disc_batch_stats
         new_disc_opt = state.disc_opt_state
@@ -308,6 +339,10 @@ def make_train_step(
         (_, losses), cotangent = jax.value_and_grad(
             loss_from_render, has_aux=True
         )(render_out)
+        if d_loss is not None:
+            # surfaced for observability parity (the reference logs the
+            # discriminator loss per step, trainer/gazenerf_trainer.py:508)
+            losses["disc_patch_gan_loss"] = d_loss
         (grads,) = render_vjp(cotangent)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, trainable)
         new_trainable = jax.tree_util.tree_map(lambda p, u: p + u, trainable, updates)
@@ -337,17 +372,19 @@ def make_multi_step(step_body, donate: bool = True):
     loader-fed path then tracks the scan-fed device truth (PERF_NOTES.md
     round 4; the reference pays a host sync every step,
     trainer/gazenerf_trainer.py:578, which a TPU-native trainer must not).
-    Returns the final state and the per-step ``total_loss`` vector (K,), kept
-    on device so the epoch loop can accumulate without a host sync.
+    Returns the final state and the FULL per-step loss dict (every leaf
+    stacked to (K,)), kept on device so the epoch loop can accumulate — and
+    the wandb observability path can log the per-loss scalars — without a
+    host sync per step.
     """
 
     def multi_fn(state, stacked_batch, eye_imp=None):
         def body(s, b):
             s2, losses = step_body(s, b, eye_imp)
-            return s2, losses["total_loss"]
+            return s2, losses
 
-        state, tl = jax.lax.scan(body, state, stacked_batch)
-        return state, tl
+        state, losses = jax.lax.scan(body, state, stacked_batch)
+        return state, losses
 
     if donate:
         return jax.jit(multi_fn, donate_argnums=(0,))
@@ -389,7 +426,7 @@ def make_eval_step(cfg: Config, model: GazeNeRF, expr_fix: np.ndarray):
         out = {"mse": mse, "psnr": psnr}
         for name, m_ in masks.items():
             out[f"{name}_mse"] = masked_mean(err, m_)
-        return out, img
+        return out, pred["coarse_dict"]
 
     return eval_fn
 
@@ -542,13 +579,20 @@ class Trainer:
 
         loss_parts = []  # device scalars/vectors: reduced once at epoch end
         n = 0
+        log_every = max(1, self.cfg.train.log_every)
         for jb, n_in in device_prefetch(gen, to_device=to_dev):
             if n_in > 1:
-                self.state, tl = self.multi_step(self.state, jb, eye_imp)
+                self.state, losses = self.multi_step(self.state, jb, eye_imp)
+                tl = losses["total_loss"]  # (K,) device vector
                 loss_parts.append(tl)
-                batch_loss = tl  # (K,) device vector
-                # slice out the last batch only when the logging path below
+                batch_loss = tl
+                # slice out the last step only when the logging path below
                 # actually consumes it (each slice is a device op)
+                last_losses = (
+                    {k: v[-1] for k, v in losses.items()}
+                    if wandb is not None
+                    else None
+                )
                 last_jb = (
                     {k: v[-1] for k, v in jb.items()}
                     if wandb is not None
@@ -561,34 +605,40 @@ class Trainer:
                     self.state, losses = self.train_step(self.state, jb, eye_imp)
                 loss_parts.append(losses["total_loss"])
                 batch_loss = losses["total_loss"]
+                last_losses = losses
                 last_jb = jb
-            # visual QA every N dispatches (the reference's main correctness
-            # instrument — trainer/gazenerf_trainer.py:530-531 via
-            # utils/logging.py:41-98 log_all_images).  Only the logging path
-            # pays a host sync.
+            # observability (the reference's main correctness instrument):
+            # per-loss scalar dict every ``log_every`` batches (reference
+            # trainer/gazenerf_trainer.py:584-591 via utils/logging.py
+            # log_losses), the 5-panel image strip every N dispatches
+            # (gazenerf_trainer.py:530-531 log_all_images).  Only the
+            # logging path pays host syncs.
             if wandb is not None:
-                wandb.log({"batch_loss": float(jnp.mean(batch_loss))})
-                if log_images_every and (n // K) % log_images_every == 0:
-                    from gazenerf_tpu.utils.logging import log_images
+                from gazenerf_tpu.utils.logging import (
+                    log_all_images,
+                    log_losses,
+                )
 
-                    _, pred = self.eval_step(self.state, last_jb)
-                    log_images(
-                        wandb,
-                        "train",
-                        {
-                            "pred": np.asarray(pred[0]),
-                            "gt": np.asarray(last_jb["image"][0]),
-                            "head_mask": np.asarray(
-                                last_jb["head_mask"][0]
-                            )[..., None].repeat(3, -1),
-                        },
+                wandb.log({"batch_loss": float(jnp.mean(batch_loss))})
+                if (n // K) % max(1, log_every // K) == 0:
+                    log_losses(
+                        wandb, last_losses, self.cfg.loss, epoch=epoch
                     )
+                if log_images_every and (n // K) % log_images_every == 0:
+                    _, cd = self.eval_step(self.state, last_jb)
+                    log_all_images(wandb, last_jb["image"], cd)
             n += n_in
         total = (
             float(jnp.concatenate([x.reshape(-1) for x in loss_parts]).sum())
             if loss_parts
             else 0.0
         )  # the epoch's ONE host sync
+        if wandb is not None:
+            # reference: epoch-mean scalar + the gradual-loss importance
+            # (trainer/gazenerf_trainer.py:595-596, trainer/base.py:150-154)
+            wandb.log({"Total Loss Epoch": total / max(n, 1)})
+            if eye_imp is not None:
+                wandb.log({"eye loss importance": float(eye_imp)})
         dt = time.time() - t0
         summary = {
             "epoch": epoch,

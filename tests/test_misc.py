@@ -203,7 +203,7 @@ def test_eval_step_per_region_metrics():
     write_synthetic_subject(d, num_frames=2, img_size=64)
     loader = BatchLoader(GazeH5Dataset(d, shuffle=False), batch_size=2)
     batch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
-    metrics, img = tr.eval_step(tr.state, batch)
+    metrics, cd = tr.eval_step(tr.state, batch)
     for k in ("mse", "psnr", "head_mse", "face_mse", "eyes_mse", "nonhead_mse"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
-    assert img.shape == (2, 64, 64, 3)
+    assert cd["merge_img"].shape == (2, 64, 64, 3)

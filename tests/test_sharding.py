@@ -26,7 +26,10 @@ def tiny_config(batch: int) -> Config:
             num_sample_coarse=8, featmap_size=16, pred_img_size=64,
             mlp_hidden=32, use_pallas=False,
         ),
-        loss=LossConfig(use_vgg_loss=False),
+        # MSE region losses: these tests assert cross-sharding numerical
+        # equality, and the L1 recipe default's sign(d) gradient flips under
+        # last-bit reassociation near d=0 (see test_train.tiny_config)
+        loss=LossConfig(use_vgg_loss=False, use_l1_loss=False),
         train=TrainConfig(batch_size=batch, lr=1e-3),
     )
 

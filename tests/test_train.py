@@ -25,6 +25,11 @@ from gazenerf_tpu.train.trainer import Trainer
 
 
 def tiny_config(**loss_kw) -> Config:
+    # MSE region losses (not the L1 recipe default): several tests here
+    # assert numerical equivalence between differently-composed steps, and
+    # L1's sign(d) gradient is discontinuous at d=0 — last-bit reassociation
+    # near zero then flips grad signs and Adam amplifies them to +-lr.
+    loss_kw.setdefault("use_l1_loss", False)
     return Config(
         model=ModelConfig(
             num_sample_coarse=8,
@@ -543,9 +548,9 @@ def test_multi_step_dispatch_with_gan(loader_and_ds):
     t1 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
     t2 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
     s1, l1 = t1.train_step(t1.state, jb)
-    s2, tl = t2.multi_step(t2.state, stk, None)
+    s2, lossesK = t2.multi_step(t2.state, stk, None)
     np.testing.assert_array_equal(
-        np.asarray(l1["total_loss"]), np.asarray(tl[0])
+        np.asarray(l1["total_loss"]), np.asarray(lossesK["total_loss"][0])
     )
     for a, b2 in zip(
         jax.tree_util.tree_leaves(s1.params),
