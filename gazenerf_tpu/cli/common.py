@@ -37,7 +37,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--step_decay", type=int, default=1000)
-    p.add_argument("--num_epochs", type=int, default=75)
+    p.add_argument("--num_epochs", type=int, default=2000)
     p.add_argument("--seed", type=int, default=45)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")

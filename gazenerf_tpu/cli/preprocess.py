@@ -34,13 +34,60 @@ DEFAULT_FACE_MODEL = np.array(
 )
 
 
+def _build_fitter(args):
+    """NL-3DMM fitter from the basis/decoder flags (shared by the fit path
+    and the standalone --qa_from_h5 QA path)."""
+    from gazenerf_tpu.nl3dmm.face_model import (
+        load_basis,
+        load_basis_pkl,
+        random_basis,
+    )
+    from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
+    from gazenerf_tpu.nl3dmm.rasterizer import RasterSettings
+
+    if args.basis_pkl:
+        basis = load_basis_pkl(
+            args.basis_pkl,
+            topo_npz_path=args.topo_npz or None,
+            landmark_pkl_path=args.landmark_pkl or None,
+            skinmask_npy_path=args.skinmask_npy or None,
+        )
+    elif args.basis_npz:
+        basis = load_basis(args.basis_npz)
+    else:
+        basis = random_basis()
+        logger.warning(
+            "no --basis_npz/--basis_pkl given; fitting against a "
+            "synthetic basis (codes structurally valid, not meaningful)"
+        )
+    decoder_params = None
+    if args.decoder_ckpt:
+        import torch
+
+        from gazenerf_tpu.nl3dmm.face_model import (
+            geometry_decoder_params_from_torch,
+        )
+
+        sd = torch.load(args.decoder_ckpt, map_location="cpu")
+        sd = sd.get("net", sd) if isinstance(sd, dict) else sd
+        decoder_params = geometry_decoder_params_from_torch(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+    return NL3DMMFitter(
+        basis,
+        FitConfig(image_size=args.fit_image_size),
+        RasterSettings(image_size=args.fit_image_size),
+        decoder_params=decoder_params,
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Preprocess raw frames -> training h5")
-    p.add_argument("--frames_dir", type=str, required=True,
+    p.add_argument("--frames_dir", type=str, default="",
                    help="flat layout: directory of raw frames (png/jpg); "
                         "xgaze layout: the subject directory of frameNNNN "
                         "folders")
-    p.add_argument("--out", type=str, required=True, help="output h5 path")
+    p.add_argument("--out", type=str, default="", help="output h5 path")
     p.add_argument("--dataset", type=str, default="eth_xgaze")
     p.add_argument("--layout", type=str, default="flat",
                    choices=["flat", "xgaze", "mpii", "columbia", "gazecapture"],
@@ -85,8 +132,31 @@ def main(argv=None) -> int:
     p.add_argument("--qa_render_dir", type=str, default="",
                    help="write fitted-mesh QA renders here (reference "
                         "gen_nl3dmm_render_res.py)")
+    p.add_argument("--qa_from_h5", type=str, default="",
+                   help="standalone QA: re-render the SAVED fits of this "
+                        "preprocessed subject h5 into --qa_render_dir "
+                        "(reference gen_nl3dmm_render_res.py:18-205 renders "
+                        "from saved fit artifacts, no re-fitting)")
+    p.add_argument("--qa_limit", type=int, default=0,
+                   help="max frames for --qa_from_h5 (0 = all)")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    if args.qa_from_h5:
+        if not args.qa_render_dir:
+            logger.error("--qa_from_h5 requires --qa_render_dir")
+            return 1
+        from gazenerf_tpu.preprocess.driver import qa_renders_from_h5
+
+        paths = qa_renders_from_h5(
+            _build_fitter(args), args.qa_from_h5, args.qa_render_dir,
+            limit=args.qa_limit or None,
+        )
+        logger.info("QA done: %d panels -> %s", len(paths), args.qa_render_dir)
+        return 0
+    if not args.frames_dir or not args.out:
+        logger.error("--frames_dir and --out are required (or use --qa_from_h5)")
+        return 1
 
     records = None
     if args.layout == "xgaze":
@@ -150,50 +220,7 @@ def main(argv=None) -> int:
         np.loadtxt(args.face_model) if args.face_model else DEFAULT_FACE_MODEL
     )
 
-    fitter = None
-    if args.fit:
-        from gazenerf_tpu.nl3dmm.face_model import (
-            load_basis,
-            load_basis_pkl,
-            random_basis,
-        )
-        from gazenerf_tpu.nl3dmm.fitting import FitConfig, NL3DMMFitter
-        from gazenerf_tpu.nl3dmm.rasterizer import RasterSettings
-
-        if args.basis_pkl:
-            basis = load_basis_pkl(
-                args.basis_pkl,
-                topo_npz_path=args.topo_npz or None,
-                landmark_pkl_path=args.landmark_pkl or None,
-                skinmask_npy_path=args.skinmask_npy or None,
-            )
-        elif args.basis_npz:
-            basis = load_basis(args.basis_npz)
-        else:
-            basis = random_basis()
-            logger.warning(
-                "no --basis_npz/--basis_pkl given; fitting against a "
-                "synthetic basis (codes structurally valid, not meaningful)"
-            )
-        decoder_params = None
-        if args.decoder_ckpt:
-            import torch
-
-            from gazenerf_tpu.nl3dmm.face_model import (
-                geometry_decoder_params_from_torch,
-            )
-
-            sd = torch.load(args.decoder_ckpt, map_location="cpu")
-            sd = sd.get("net", sd) if isinstance(sd, dict) else sd
-            decoder_params = geometry_decoder_params_from_torch(
-                {k: v.numpy() for k, v in sd.items()}
-            )
-        fitter = NL3DMMFitter(
-            basis,
-            FitConfig(image_size=args.fit_image_size),
-            RasterSettings(image_size=args.fit_image_size),
-            decoder_params=decoder_params,
-        )
+    fitter = _build_fitter(args) if args.fit else None
 
     if records is not None:
         from gazenerf_tpu.preprocess.driver import process_subject_records

@@ -242,9 +242,9 @@ class TrainConfig:
     optimizer: str = "adam"
     adam_b1: float = 0.9
     adam_b2: float = 0.999
-    batch_size: int = 2
-    num_epochs: int = 75
-    seed: int = 45
+    batch_size: int = 2  # reference README.md:29 recipe (argparse default is 1)
+    num_epochs: int = 2000  # reference train.py:22
+    seed: int = 45  # reference train.py:54 torch.manual_seed(45)
     opt_cam: bool = True
     disc_lr_weight_decay: float = 1e-4
 

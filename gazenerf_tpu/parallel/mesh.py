@@ -25,8 +25,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host initialization (no-op when single-process)."""
+    """Multi-host initialization (no-op when single-process, idempotent so a
+    resumed run can re-enter the launch path in-process)."""
     if num_processes and num_processes > 1:
+        try:
+            from jax._src import distributed as _jdist
+
+            if _jdist.global_state.client is not None:
+                return  # already initialized (train -> resume in-process);
+                # probing jax.process_count() instead would itself
+                # initialize the backend before distributed setup
+        except ImportError:  # pragma: no cover - private-API drift
+            pass
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 

@@ -277,23 +277,76 @@ def process_subject_records(
             r["c2w_Tvec"] = res["c2w_Tvec"][i]
 
         if qa_dir:
-            from gazenerf_tpu.utils.logging import side_by_side
-
-            os.makedirs(qa_dir, exist_ok=True)
-            qa_imgs, _, _ = fitter.render_fit(res)
-            for i in range(len(rows)):
-                panel = side_by_side(images[i], qa_imgs[i])
-                cv2.imwrite(
-                    os.path.join(qa_dir, "fit_qa_%04d.png" % i),
-                    panel[..., ::-1],
-                )
-            logger.info("fit QA renders -> %s", qa_dir)
+            write_fit_qa_renders(fitter, res, images, qa_dir)
 
     for r in rows:
         writer.append(r)
     writer.close()
     logger.info("wrote %d frames -> %s", len(rows), out_path)
     return out_path
+
+
+def write_fit_qa_renders(
+    fitter, res, images: np.ndarray, qa_dir: str, prefix: str = "fit_qa"
+) -> List[str]:
+    """Per-frame fitted-mesh QA panels: original | mesh composited over the
+    original (alpha-masked, like the reference's ``img_1[mask_img] =
+    render_img[mask_img]``) | raw mesh render.
+
+    Reference twin: surface_fitting/nl3dmm/gen_nl3dmm_render_res.py:45-118
+    ``render_3dmm`` (its phong panel needs the Phong pipeline the rasterizer
+    deliberately omits; the alpha composite is the fit-QA signal).
+
+    ``images``: [B,H,W,3] float01 RGB at the fitter's image size.
+    """
+    from gazenerf_tpu.utils.logging import side_by_side
+
+    os.makedirs(qa_dir, exist_ok=True)
+    qa_imgs, alpha, _ = fitter.render_fit(res)
+    paths = []
+    for i in range(qa_imgs.shape[0]):
+        ori = np.clip(np.asarray(images[i]), 0.0, 1.0)
+        m = np.asarray(alpha[i])[..., None] > 0.5
+        composite = np.where(m, qa_imgs[i], ori)
+        panel = side_by_side(ori, composite, qa_imgs[i])
+        p = os.path.join(qa_dir, "%s_%04d.png" % (prefix, i))
+        cv2.imwrite(p, panel[..., ::-1])
+        paths.append(p)
+    logger.info("fit QA renders -> %s (%d panels)", qa_dir, len(paths))
+    return paths
+
+
+def qa_renders_from_h5(
+    fitter, h5_path: str, qa_dir: str, limit: Optional[int] = None
+) -> List[str]:
+    """Standalone fit-QA: re-render SAVED fits from a preprocessed subject
+    h5 (codes + fitted cameras) and composite them over the stored frames —
+    the reference's ``gen_nl3dmm_render_res.py`` entry flow (:18-205 renders
+    from saved pkl fit artifacts without re-fitting).
+    """
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        n = f["face_patch"].shape[0]
+        if limit is not None:
+            n = min(n, limit)
+        full = f["face_patch"].shape[1]
+        s = fitter.cfg.image_size / full
+        imgs = np.stack([
+            cv2.resize(f["face_patch"][i], (fitter.cfg.image_size,) * 2)
+            for i in range(n)
+        ]).astype(np.float32)[..., ::-1] / 255.0  # BGR -> RGB
+        inmat = np.asarray(f["inmat"][:n], np.float32) * s
+        inmat[:, 2, 2] = 1.0
+        res = {
+            "code": np.asarray(f["latent_codes"][:n], np.float32),
+            "w2c_Rmat": np.asarray(f["w2c_Rmat"][:n], np.float32),
+            "w2c_Tvec": np.asarray(f["w2c_Tvec"][:n], np.float32).reshape(
+                n, 3
+            ),
+            "inmat": inmat,
+        }
+    return write_fit_qa_renders(fitter, res, imgs, qa_dir)
 
 
 def process_subject(

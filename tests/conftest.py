@@ -25,6 +25,32 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the @pytest.mark.slow tier (the handful of >45 s "
+             "compile-heavy tests; the default tier keeps a full run "
+             "under ~8 min)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >45 s compile-heavy test; skipped unless --runslow "
+        "(or -m slow) is given",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return  # explicit marker selection overrides the default skip
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -66,3 +66,60 @@ def test_cli_personal_calibration_iterations(tmp_path, capsys):
     files = sorted(os.listdir(calib_dir))
     assert any("_nsample_2_iter_0.h5" in f for f in files)
     assert any("_nsample_2_iter_1.h5" in f for f in files)
+
+
+def test_cli_evaluate_per_key_gifs(tmp_path):
+    """cli.evaluate iterates the split's subject KEYS and fits the CHOSEN
+    frame (not frame 0), writing the reference's GIF names per subject
+    (reference evaluate.py:152-153 iterates val_keys; gazenerf_trainer.py:
+    926-942 names {key}_{fit_name}_{both,gaze,head}.gif)."""
+    import json as _json
+
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    write_synthetic_subject(d, num_frames=4, img_size=64)
+    write_synthetic_subject(d, num_frames=4, img_size=64,
+                            subject="subject0001.h5", seed=1)
+    with open(os.path.join(d, "train_test_split.json"), "w") as f:
+        _json.dump({"train": ["subject0000.h5"],
+                    "val": ["subject0001.h5"]}, f)
+
+    from gazenerf_tpu.cli.evaluate import main
+
+    out_dir = str(tmp_path / "gifs")
+    rc = main([
+        "--img_dir", d, "--fixed_index", "2", "--fit_steps", "2",
+        "--view_num", "3", "--out_dir", out_dir,
+    ] + TINY_FLAGS)
+    assert rc == 0
+    # default split is "val" -> exactly subject0001's three fitted GIFs
+    files = sorted(os.listdir(out_dir))
+    assert files == [
+        "subject0001_fitted_both.gif",
+        "subject0001_fitted_gaze.gif",
+        "subject0001_fitted_head.gif",
+    ]
+
+    # visualize = the same flow over the TRAIN keys (reference visualize.py)
+    from gazenerf_tpu.cli.visualize import main as vis_main
+
+    out2 = str(tmp_path / "gifs2")
+    rc = vis_main([
+        "--img_dir", d, "--fixed_index", "1", "--fit_steps", "2",
+        "--view_num", "3", "--out_dir", out2,
+    ] + TINY_FLAGS)
+    assert rc == 0
+    assert sorted(os.listdir(out2)) == [
+        "subject0000_fitted_both.gif",
+        "subject0000_fitted_gaze.gif",
+        "subject0000_fitted_head.gif",
+    ]
+
+    # --fit false = the reference's not_fitted val flow (evaluate.py:67-69)
+    out3 = str(tmp_path / "gifs3")
+    rc = main([
+        "--img_dir", d, "--subject", "subject0000.h5", "--fit", "false",
+        "--view_num", "2", "--out_dir", out3,
+    ] + TINY_FLAGS)
+    assert rc == 0
+    assert "subject0000_not_fitted_both.gif" in os.listdir(out3)

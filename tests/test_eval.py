@@ -147,6 +147,14 @@ def test_input_target_protocol(setup):
     for k in ("ssim", "psnr", "l1"):
         assert np.isfinite(res[k]), res
     assert res["num_pairs"] == 2
+    # degraded-backend labeling (VERDICT r4 weak #5): this ctx has no exact
+    # piq-LPIPS/Inception hooks, so the output must SAY it used fallbacks
+    if "lpips" in res:
+        assert res["lpips_backend"] == (
+            "exact" if ctx.lpips_fn is not None else "vgg_fallback"
+        )
+    if "fid" in res:
+        assert res["fid_backend"] in ("exact", "vgg_gap_fallback")
 
 
 def test_consistency_protocol(setup):

@@ -1,5 +1,7 @@
 """Preprocessing + NL-3DMM tests: normalization math, masks, rasterizer, fit."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -206,6 +208,68 @@ def test_nl3dmm_fitting_reduces_loss(basis):
     # output cameras invert correctly
     RT = res["w2c_Rmat"][0] @ res["c2w_Rmat"][0]
     np.testing.assert_allclose(RT, np.eye(3), atol=1e-5)
+
+
+def test_fit_qa_renders_and_standalone_h5_qa(basis, tmp_path):
+    """Fit-QA panels (ori | alpha-composite | mesh) from a finished fit, and
+    the standalone --qa_from_h5 flow that re-renders SAVED fits from a
+    preprocessed subject h5 (reference gen_nl3dmm_render_res.py:18-205)."""
+    import h5py
+
+    from gazenerf_tpu.preprocess.driver import (
+        qa_renders_from_h5,
+        write_fit_qa_renders,
+    )
+
+    cfg = FitConfig(stage1_steps=2, stage2_steps=2, image_size=64)
+    raster = RasterSettings(image_size=64, tile_size=16, tris_per_tile=32)
+    fitter = NL3DMMFitter(basis, cfg, raster)
+    R, T, K = _camera(1)
+    verts = basis.mean_shape[None]
+    colors = jnp.full((1, 256, 3), 0.55)
+    target, _ = render_mesh(verts, colors, basis.triangles, R, T, K, raster)
+
+    res = {
+        "code": np.zeros((1, 306), np.float32),
+        "w2c_Rmat": np.asarray(R),
+        "w2c_Tvec": np.asarray(T).reshape(1, 3),
+        "inmat": np.asarray(K),
+    }
+    qa1 = str(tmp_path / "qa_fresh")
+    paths = write_fit_qa_renders(fitter, res, np.asarray(target), qa1)
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    import cv2
+
+    panel = cv2.imread(paths[0])
+    assert panel.shape == (64, 3 * 64, 3)  # ori | composite | mesh
+
+    # standalone: QA from a saved subject h5 (codes + fitted cams + frames).
+    # Full-size intrinsics are stored at 512 and rescaled to the fitter size.
+    h5_path = str(tmp_path / "xgaze_subject.h5")
+    K512 = np.asarray(K)[0] * (512.0 / 64.0)
+    K512[2, 2] = 1.0
+    with h5py.File(h5_path, "w") as f:
+        u8 = (np.asarray(target)[0] * 255).astype(np.uint8)[..., ::-1]
+        f["face_patch"] = np.stack([cv2.resize(u8, (512, 512))] * 2)
+        f["latent_codes"] = np.zeros((2, 306), np.float32)
+        f["w2c_Rmat"] = np.repeat(np.asarray(R), 2, axis=0)
+        f["w2c_Tvec"] = np.repeat(np.asarray(T).reshape(1, 3), 2, axis=0)
+        f["inmat"] = np.stack([K512] * 2)
+    qa2 = str(tmp_path / "qa_h5")
+    paths2 = qa_renders_from_h5(fitter, h5_path, qa2, limit=1)
+    assert len(paths2) == 1
+    assert cv2.imread(paths2[0]).shape == (64, 3 * 64, 3)
+
+    # CLI surface: --qa_from_h5 drives the same path end-to-end
+    from gazenerf_tpu.cli.preprocess import main
+
+    qa3 = str(tmp_path / "qa_cli")
+    rc = main([
+        "--qa_from_h5", h5_path, "--qa_render_dir", qa3,
+        "--fit_image_size", "64", "--qa_limit", "1",
+    ])
+    assert rc == 0
+    assert len(os.listdir(qa3)) == 1
 
 
 def test_unet_parity_with_reference():

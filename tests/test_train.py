@@ -545,8 +545,11 @@ def test_multi_step_dispatch_with_gan(loader_and_ds):
     b = next(iter(loader))
     jb = {k: jnp.asarray(v) for k, v in b.items()}
     stk = {k: jnp.asarray(np.stack([v])) for k, v in b.items()}
+    # t2 carries the K=3 config: its multi_step is the same jitted scan (the
+    # scan length comes from the stacked batch, not the config), and reusing
+    # both trainers for the epoch phase below halves the compile bill
     t1 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
-    t2 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
+    t2 = Trainer(cfgK, train_len=len(ds), steps_per_epoch=len(loader))
     s1, l1 = t1.train_step(t1.state, jb)
     s2, lossesK = t2.multi_step(t2.state, stk, None)
     np.testing.assert_array_equal(
@@ -564,8 +567,10 @@ def test_multi_step_dispatch_with_gan(loader_and_ds):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
 
     # --- loss-level: K=3 epoch == per-batch epoch; disc trained ---
-    tr1 = Trainer(cfg1, train_len=len(ds), steps_per_epoch=len(loader))
-    trK = Trainer(cfgK, train_len=len(ds), steps_per_epoch=len(loader))
+    # continue from the (bit-identical, just asserted) post-step states;
+    # the originals were donated into the jitted steps
+    t1.state, t2.state = s1, s2
+    tr1, trK = t1, t2
     e1 = tr1.train_epoch(loader, 0)
     eK = trK.train_epoch(loader, 0)
     np.testing.assert_allclose(e1["loss"], eK["loss"], rtol=1e-5)

@@ -43,9 +43,10 @@ def make_runner(overrides: dict, N: int):
     loss_kw = {
         k[5:]: mc.pop(k) for k in list(mc) if k.startswith("loss_")
     }
+    loss_kw.setdefault("use_vgg_loss", False)
     cfg = Config(
         model=ModelConfig(**mc),
-        loss=LossConfig(use_vgg_loss=False, **loss_kw),
+        loss=LossConfig(**loss_kw),
         train=TrainConfig(batch_size=B),
     )
     global RAYS
