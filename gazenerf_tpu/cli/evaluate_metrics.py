@@ -195,6 +195,12 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     logging.basicConfig(level=logging.INFO)
+    from gazenerf_tpu.utils.logging import (
+        log_subject_eval_results,
+        maybe_wandb_init,
+    )
+
+    wandb = maybe_wandb_init(args.log, config=cfg.to_json())
 
     use_target = args.evaluation_type == "input_target_images"
 
@@ -295,6 +301,14 @@ def main(argv=None) -> int:
                     split_target_batch(b) for b in subject_batches(kind, ddir, s)
                 ]
             res = evaluate_input_target_sweep(ctx, subject_pairs)
+            if wandb is not None:
+                # eval-epoch scalar panels (reference utils/logging.py:
+                # 134-196 log_one_subject / log_all_datasets results)
+                for m in res["per_subject"].values():
+                    log_subject_eval_results(wandb, m)
+                log_subject_eval_results(
+                    wandb, res["overall"], prefix=f"{kind} "
+                )
         elif args.evaluation_type == "consistency":
             per_subject = {}
             for s in subjects:
@@ -370,6 +384,30 @@ def main(argv=None) -> int:
         if identity_pipeline is not None:
             res["identity_similarity_valid"] = identity_valid
         per_dataset[kind] = res
+
+    if (
+        wandb is not None
+        and len(per_dataset) > 1
+        and args.evaluation_type == "input_target_images"
+    ):
+        # the reference's " FULL " cross-dataset panel (utils/logging.py:
+        # 150-196): pair-count-weighted means over every dataset's overall
+        overalls = [r["overall"] for r in per_dataset.values() if r.get("overall")]
+        keys = {
+            k for o in overalls for k in o
+            if isinstance(o[k], (int, float)) and k != "num_pairs"
+        }
+        n = [o.get("num_pairs", 1) for o in overalls]
+        full = {
+            k: float(
+                np.average(
+                    [o[k] for o in overalls if k in o],
+                    weights=[w for o, w in zip(overalls, n) if k in o],
+                )
+            )
+            for k in keys
+        }
+        log_subject_eval_results(wandb, full, prefix=" FULL ")
 
     result = per_dataset if len(per_dataset) > 1 else next(iter(per_dataset.values()))
     print(json.dumps(result, indent=2, default=float))

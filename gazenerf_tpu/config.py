@@ -130,6 +130,11 @@ class ModelConfig:
     # num_sample_coarse: it WINS at S=64 (-13 ms) and LOSES at S=256
     # (+30 ms) — keep False for deep marches (PERF_NOTES round 4 crossover)
     pallas_stash_acts: bool = False
+    # two-level stash ladder: with stash_acts, stash only every k-th trunk
+    # layer (k=2 -> x1,x3,x5,x7) and recompute the rest in-tile — interpolates
+    # between full-stash (S=64 winner) and full-recompute (S=256 winner) by
+    # trading k-1/k of the S-scaled stash HBM traffic for recompute matmuls
+    pallas_stash_every: int = 1
     # backward kernel emits only the data-gradient chain (masked per-layer
     # dpre cotangents, bf16, to HBM); the weight gradients become one giant
     # [C_in,N]x[N,C_out] XLA matmul per layer over the stashed activations.

@@ -73,6 +73,14 @@ class FieldDims(NamedTuple):
     # step against resident accumulators — Mosaic sequencing overhead puts
     # the fused bwd at ~60% MFU while XLA runs the same contraction shapes at
     # ~87% (PERF_NOTES round 3).  Requires stash_acts.
+    stash_every: int = 1  # two-level stash/recompute ladder for the backward
+    # (deep marches): 1 = stash all 10 activation tensors; k>1 = stash only
+    # trunk layers i with i % k == k-1 (k=2 -> x1,x3,x5,x7) and recompute the
+    # rest (and the head intermediates) in-tile from the nearest stashed
+    # predecessor.  Interpolates between the full-stash regime (wins at S=64:
+    # HBM traffic cheap, MXU flops saved) and the full-recompute regime (wins
+    # at S=256: the S-scaled stash traffic is the bottleneck) — PERF_NOTES
+    # round 4 crossover, round 5 A/B.
     embed_in_kernel: bool = False  # take raw sample points [B,R,S,3] and
     # compute the positional encoding in VMEM (and its cotangent dpts in the
     # backward) — the [B,R,S,63] embed/dembed tensors never touch HBM and
@@ -114,6 +122,21 @@ def _split_params(params: Dict, dims: FieldDims):
         "Wr2": g("rgb_2"),
         "br2": b("rgb_2"),
     }
+
+
+def stash_layout(dims: FieldDims):
+    """Which activation tensors the forward writes to HBM for the backward.
+
+    Returns ``[(tag, width), ...]`` in kernel-output order; tags are
+    ``x0..x7`` (trunk), ``y0b``/``y1`` (head intermediates).
+    """
+    if not dims.stash_acts:
+        return []
+    H, H2 = dims.hidden, dims.hidden // 2
+    k = max(1, dims.stash_every)
+    if k == 1:
+        return [(f"x{i}", H) for i in range(8)] + [("y0b", H), ("y1", H2)]
+    return [(f"x{i}", H) for i in range(8) if i % k == k - 1]
 
 
 def _embed_consts(dims: FieldDims):
@@ -169,6 +192,7 @@ def _field_kernel(dims: FieldDims):
     De, H, C, S, TR = dims.embed, dims.hidden, dims.feat, dims.samples, dims.tile_rays
     H2 = H // 2
     N = TR * S
+    stash_slot = {tag: i for i, (tag, _) in enumerate(stash_layout(dims))}
 
     def kernel(
         embed_ref, zvals_ref, zdists_ref,
@@ -193,10 +217,13 @@ def _field_kernel(dims: FieldDims):
                 x, w, (((1,), (0,)), ((), ())), preferred_element_type=prefer
             )
 
+        def stash(tag, val, width):
+            if tag in stash_slot:
+                stash_refs[stash_slot[tag]][0] = val.reshape(TR, S, width)
+
         x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
         x = jnp.maximum(x, 0.0).astype(bf)
-        if stash_refs:
-            stash_refs[0][0] = x.reshape(TR, S, H)
+        stash("x0", x, H)
         mid = 0
         for i in range(1, 8):
             if i == 5:
@@ -209,8 +236,7 @@ def _field_kernel(dims: FieldDims):
                 y = dense(x, Wmid_ref[mid].astype(bf)) + bmid_ref[mid][None, :]
                 mid += 1
             x = jnp.maximum(y, 0.0).astype(bf)
-            if stash_refs:
-                stash_refs[i][0] = x.reshape(TR, S, H)
+            stash(f"x{i}", x, H)
 
         if dims.dens_vpu:
             dens_pre = (
@@ -229,9 +255,8 @@ def _field_kernel(dims: FieldDims):
         y0b = y.astype(bf)
         y = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
         y = jnp.maximum(y, 0.0).astype(bf)
-        if stash_refs:  # the stash is always the full 10 tensors
-            stash_refs[8][0] = y0b.reshape(TR, S, H)
-            stash_refs[9][0] = y.reshape(TR, S, H2)
+        stash("y0b", y0b, H)
+        stash("y1", y, H2)
         feat = dense(y, Wr2_ref[...].astype(bf)) + br2_ref[...][None, :]
 
         # ---- volume integration in VMEM ----
@@ -318,13 +343,15 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
         jax.ShapeDtypeStruct((B, R, S), f32),
     ]
     if dims.stash_acts:
-        # trunk acts x0..x7 + head intermediates (y0b, y1), bf16 in HBM.
-        # (A "heads diet" that recomputed y0b/y1 from x7 in the backward —
-        # 2 matmuls for ~1.2 GB/branch of traffic — measured 10 ms WORSE:
-        # per-matmul Mosaic overhead in this kernel is ~5 us, so adding
-        # matmuls to save pipelined HBM reads is backwards.  PERF_NOTES r3.)
-        stash_widths = [H] * 9 + [H2]
-        for w_ in stash_widths:
+        # stash_every=1: trunk acts x0..x7 + head intermediates (y0b, y1),
+        # bf16 in HBM.  (A "heads diet" that recomputed y0b/y1 from x7 in
+        # the backward — 2 matmuls for ~1.2 GB/branch of traffic — measured
+        # 10 ms WORSE at S=64: per-matmul Mosaic overhead in this kernel is
+        # ~5 us, so adding matmuls to save pipelined HBM reads is backwards
+        # there.  PERF_NOTES r3.)  stash_every=k>1: only every k-th trunk
+        # layer, for deep marches where the S-scaled stash traffic is the
+        # bottleneck (PERF_NOTES r5).
+        for _, w_ in stash_layout(dims):
             out_specs.append(tile((1, TR, S, w_), lambda b, r: (b, r, 0, 0)))
             out_shape.append(jax.ShapeDtypeStruct((B, R, S, w_), bf))
 

@@ -34,6 +34,7 @@ from gazenerf_tpu.kernels.fused_field import (
     _embed_tile,
     _split_params,
     compiler_params,
+    stash_layout,
 )
 
 _EPS = 1e-10
@@ -102,16 +103,53 @@ def _bwd_kernel(dims: FieldDims):
             embed = embed_ref[0].reshape(N, De).astype(bf)
 
         if stash_refs:
-            # forward stashed x0..x7, y0b, y1 in HBM (bf16); only the two
-            # cheap head matmuls (density, rgb_2) are recomputed here.
-            # (Recomputing y0b/y1 instead measured 10 ms WORSE — per-matmul
-            # Mosaic overhead ~5 us dwarfs the pipelined HBM reads saved.)
-            acts = [stash_refs[i][0].reshape(N, H) for i in range(8)]
+            # forward stashed per stash_layout(dims) in HBM (bf16):
+            # stash_every=1 -> x0..x7 + y0b + y1, only the two cheap head
+            # matmuls (density, rgb_2) recomputed here (recomputing y0b/y1
+            # instead measured 10 ms WORSE at S=64 — per-matmul Mosaic
+            # overhead ~5 us dwarfs the pipelined HBM reads saved);
+            # stash_every=k>1 -> only every k-th trunk layer stashed, the
+            # rest rebuilt in forward order from the nearest stashed
+            # predecessor (deep-march regime, PERF_NOTES r5)
+            by_tag = {
+                tag: ref
+                for (tag, _), ref in zip(stash_layout(dims), stash_refs)
+            }
+            acts = [None] * 8
+            for i in range(8):
+                if f"x{i}" in by_tag:
+                    acts[i] = by_tag[f"x{i}"][0].reshape(N, H)
+            mid_of = {1: 0, 2: 1, 3: 2, 4: 3, 6: 4, 7: 5}
+            for i in range(8):
+                if acts[i] is not None:
+                    continue
+                if i == 0:
+                    y = (
+                        dense(embed, W0e_ref[...].astype(bf))
+                        + cb0_ref[bidx][None, :]
+                    )
+                elif i == 5:
+                    y = (
+                        dense(embed, W5e_ref[...].astype(bf))
+                        + dense(acts[4], W5x_ref[...].astype(bf))
+                        + cb5_ref[bidx][None, :]
+                    )
+                else:
+                    m = mid_of[i]
+                    y = (
+                        dense(acts[i - 1], Wmid_ref[m].astype(bf))
+                        + bmid_ref[m][None, :]
+                    )
+                acts[i] = jnp.maximum(y, 0.0).astype(bf)
             x7 = acts[7]
-            # the forward always stashes all 10 tensors (fused_field.py
-            # _pallas_forward) — trunk x0..x7 plus the two head activations
-            y0b = stash_refs[8][0].reshape(N, H)
-            y1 = stash_refs[9][0].reshape(N, H2)
+            if "y0b" in by_tag:
+                y0b = by_tag["y0b"][0].reshape(N, H)
+                y1 = by_tag["y1"][0].reshape(N, H2)
+            else:
+                y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
+                y0b = y0.astype(bf)
+                y1 = dense(y0b, Wr1x_ref[...].astype(bf)) + cbr1_ref[bidx][None, :]
+                y1 = jnp.maximum(y1, 0.0).astype(bf)
         else:
             acts = []
             x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
@@ -332,6 +370,9 @@ def pallas_backward(
     if dims.split_dw:
         assert dims.stash_acts and stash, "split_dw requires stash_acts"
         assert not dims.embed_in_kernel, "split_dw x embed_in_kernel unsupported"
+        assert dims.stash_every == 1, (
+            "split_dw's XLA dW epilogue contracts over the FULL stash"
+        )
         out_shapes = [
             jax.ShapeDtypeStruct((B, R, S, Din), embed.dtype),  # dembed
             jax.ShapeDtypeStruct((B, R, S), f32),  # dzvals

@@ -130,6 +130,7 @@ class GazeNeRF(nn.Module):
             samples=S, tile_rays=tr, bwd_tile_rays=btr,
             vmem_limit_mb=cfg.pallas_vmem_mb,
             stash_acts=cfg.pallas_stash_acts or cfg.pallas_split_dw,
+            stash_every=1 if cfg.pallas_split_dw else cfg.pallas_stash_every,
             split_dw=cfg.pallas_split_dw,
             dens_vpu=cfg.pallas_dens_vpu,
         )

@@ -145,6 +145,40 @@ def test_stash_acts_backward_matches_recompute(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
+def test_partial_stash_backward_matches_recompute(rng):
+    """stash_every=k stashes only every k-th trunk layer and rebuilds the
+    rest in-tile from the nearest stashed predecessor; the recompute follows
+    the exact bf16 forward recipe, so gradients must match the full-recompute
+    backward to float tolerance (deep-march ladder, PERF_NOTES r5)."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True)
+
+    def make_loss(d):
+        def loss(params, embed, sc, ac):
+            f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, d)
+            return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+        return loss
+
+    g_re = jax.grad(make_loss(dims), argnums=(0, 1, 2, 3))(params, embed, sc, ac)
+    for k in (2, 4):
+        from gazenerf_tpu.kernels.fused_field import stash_layout
+
+        d_k = dims._replace(stash_acts=True, stash_every=k)
+        tags = [t for t, _ in stash_layout(d_k)]
+        assert tags == [f"x{i}" for i in range(k - 1, 8, k)]
+        g_k = jax.grad(make_loss(d_k), argnums=(0, 1, 2, 3))(
+            params, embed, sc, ac
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_re), jax.tree_util.tree_leaves(g_k)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+
 def test_split_dw_backward_matches_fused(rng):
     """split_dw=True (dX chain in-kernel, dW as XLA epilogue matmuls over the
     stashed activations) == the fully-fused stash backward.  Both contract the
