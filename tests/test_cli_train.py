@@ -11,6 +11,7 @@ import csv
 import os
 
 import numpy as np
+import pytest
 
 from gazenerf_tpu.data.synthetic import write_synthetic_subject
 
@@ -32,6 +33,7 @@ def _run_cli(img_dir: str, ckpt_dir: str, extra):
         return list(csv.DictReader(f))
 
 
+@pytest.mark.slow
 def test_cli_mesh_train_matches_single(tmp_path):
     d = str(tmp_path / "data")
     os.makedirs(d)
@@ -49,6 +51,7 @@ def test_cli_mesh_train_matches_single(tmp_path):
     assert os.listdir(str(tmp_path / "c8"))
 
 
+@pytest.mark.slow
 def test_cli_mesh_with_multi_step_dispatch(tmp_path):
     """--dp/--rp composes with --steps_per_dispatch (scan-of-K on the mesh)."""
     d = str(tmp_path / "data")

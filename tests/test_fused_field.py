@@ -299,6 +299,7 @@ def test_dual_branch_kernel_matches_two_singles(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_ray_chunked_render_matches_unchunked(rng):
     """cfg.ray_chunk (sequential lax.map + checkpoint over ray tiles) is
     numerically identical to the unchunked render, values AND gradients —

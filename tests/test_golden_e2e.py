@@ -27,6 +27,7 @@ from gazenerf_tpu.train.checkpoint import load_checkpoint
 from gazenerf_tpu.train.trainer import Trainer
 
 
+@pytest.mark.slow
 def test_golden_train_checkpoint_eval(tmp_path):
     from tests.test_metrics_backends import make_torch_vgg16_features
 

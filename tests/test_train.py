@@ -146,6 +146,7 @@ def test_vgg_loss_path(loader_and_ds):
     assert np.isfinite(out["loss"])
 
 
+@pytest.mark.slow
 def test_vgg_ckpt_transplant_into_training(loader_and_ds, tmp_path):
     """cfg.loss.vgg_ckpt transplants real torchvision-layout VGG16 weights
     into the TRAINING loss stack (reference loads pretrained VGG16 at
@@ -224,6 +225,7 @@ def test_patch_gan_path(loader_and_ds):
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+@pytest.mark.slow
 def test_gan_single_render_grad_equivalence(loader_and_ds):
     """The vjp-split (single-render) step gradient equals the directly
     composed render->loss gradient with the updated discriminator — i.e.
@@ -433,6 +435,7 @@ def test_index_policy_per_dataset(tmp_path):
     assert [fi for _, fi in ds3.index] == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_matches_single(loader_and_ds):
     """steps_per_dispatch=K (scan-of-K per dispatch + remainder batches) is
     numerically the SAME training as one dispatch per batch."""
@@ -523,6 +526,7 @@ def test_device_prefetch_order_and_errors():
     gen.close()
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_with_gan(loader_and_ds):
     """The discriminator state (params/batch_stats/opt) threads correctly
     through the scanned dispatch.
