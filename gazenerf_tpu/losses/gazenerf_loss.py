@@ -173,28 +173,39 @@ def compute_losses(
         gt_head = jnp.where(nonhead3 > 0, bg_value, gt_rgb)
 
         if cfg.vgg_batched:
-            # one 6B-row VGG16 apply instead of 6 B-row forwards: convs are
-            # per-sample, and the per-pair feature-L1 means below act on row
-            # slices of the batched features — numerically identical to the
-            # sequential path, with 6x fewer kernel launches and full MXU
-            # batch tiling (reference runs 3 separate VGGPerceptualLoss
-            # calls = 6 forwards, losses/gazenerf_loss.py:364-382)
+            # two 3B-row VGG16 applies instead of 6 B-row forwards: convs
+            # are per-sample, and the per-pair feature-L1 means below act on
+            # row slices of the batched features — numerically identical to
+            # the sequential path (reference runs 3 separate
+            # VGGPerceptualLoss calls = 6 forwards,
+            # losses/gazenerf_loss.py:364-382).  The pred and gt rows go in
+            # SEPARATE stacks with the gt stack stop-gradiented: the gt
+            # images carry no grad path anyway, but batching them together
+            # with the pred rows would force the conv/maxpool backward over
+            # all 6B rows (profiled: 12-row select-and-scatter, PERF_NOTES
+            # r5) — split stacks let XLA DCE the entire gt-side backward
+            import jax
+
             B = gt_rgb.shape[0]
-            stacked = jnp.concatenate(
-                [prep(x) for x in (res_face, gt_face, res_eyes, gt_eyes,
-                                   res_img, gt_head)],
-                axis=0,
+            pred_stack = jnp.concatenate(
+                [prep(x) for x in (res_face, res_eyes, res_img)], axis=0
             )
-            feats = vgg_capture_fn(stacked)
+            gt_stack = jax.lax.stop_gradient(
+                jnp.concatenate(
+                    [prep(x) for x in (gt_face, gt_eyes, gt_head)], axis=0
+                )
+            )
+            fp = vgg_capture_fn(pred_stack)
+            fg = vgg_capture_fn(gt_stack)
 
             def dist(i):
-                a, b = 2 * i * B, (2 * i + 1) * B
+                a = i * B
                 return sum(
                     jnp.mean(
-                        jnp.abs(f[a : a + B] - f[b : b + B]),
+                        jnp.abs(p[a : a + B] - g[a : a + B]),
                         dtype=jnp.float32,
                     )
-                    for f in feats
+                    for p, g in zip(fp, fg)
                 )
 
             losses["vgg_face_loss"] = dist(0)

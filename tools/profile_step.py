@@ -39,9 +39,11 @@ def main():
         pallas_vmem_mb=100,
     )
     mc.update(overrides)
+    loss_kw = {k[5:]: mc.pop(k) for k in list(mc) if k.startswith("loss_")}
+    loss_kw.setdefault("use_vgg_loss", False)
     cfg = Config(
         model=ModelConfig(**mc),
-        loss=LossConfig(use_vgg_loss=False),
+        loss=LossConfig(**loss_kw),
         train=TrainConfig(batch_size=B),
     )
 
