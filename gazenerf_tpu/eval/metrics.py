@@ -56,9 +56,14 @@ def ssim(
     kern = jnp.broadcast_to(k[..., None, None], (kernel_size, kernel_size, 1, C))
 
     def filt(x):
+        # precision MUST be highest: TPU's default bf16-3pass conv makes the
+        # windowed moments cancel catastrophically on near-flat regions
+        # (filt(a*a) - mu^2 noise ~1e-2 >> c2=9e-4), flipping denominator
+        # signs — measured SSIM 6.3 on in-range whitened eval images
         return jax.lax.conv_general_dilated(
             x, kern, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     c1 = (0.01 * data_range) ** 2

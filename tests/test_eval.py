@@ -60,6 +60,33 @@ def test_psnr_ssim_l1_basics(rng):
     assert np.all(np.asarray(M.ssim(a, b)) < 1.0)
     assert np.all(np.asarray(M.psnr(a, b)) < 30)
 
+    # near-flat whitened pair (the eval regime) stays bounded
+    w = jnp.ones((1, 64, 64, 3), jnp.float32)
+    assert float(M.ssim(w, w * 0.999)[0]) <= 1.0 + 1e-4
+
+
+def test_ssim_conv_precision_is_highest(rng):
+    """The SSIM window convs MUST run at highest precision: TPU's default
+    bf16-3pass conv makes the windowed variance (filt(a*a) - mu^2) cancel
+    catastrophically on near-flat whitened images — measured SSIM 6.3 on
+    in-range inputs before the fix.  CPU runs f32 either way, so this
+    regression is pinned at the jaxpr level."""
+    import jax
+
+    a = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    jaxpr = jax.make_jaxpr(lambda x, y: M.ssim(x, y))(a, a)
+    convs = [
+        e for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "conv_general_dilated"
+    ]
+    assert convs, "ssim no longer lowers to conv_general_dilated?"
+    for e in convs:
+        prec = e.params.get("precision")
+        assert prec is not None and all(
+            p == jax.lax.Precision.HIGHEST
+            for p in (prec if isinstance(prec, tuple) else (prec,))
+        ), prec
+
 
 def test_ssim_matches_torch_impl(rng):
     """Cross-check our SSIM against an independent torch implementation."""

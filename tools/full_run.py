@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--k", type=int, default=8, help="steps per dispatch")
     ap.add_argument("--pairs", type=int, default=2, help="protocol pairs")
     ap.add_argument("--fit_steps", type=int, default=10)
+    ap.add_argument("--vgg", action="store_true",
+                    help="train with the reference-default recipe (VGG "
+                         "perceptual loss ON, bf16 frozen VGG)")
     ap.add_argument("--out_dir", type=str, default="")
     args = ap.parse_args()
 
@@ -66,7 +69,11 @@ def main():
             pallas_vmem_mb=100,
             pallas_dens_vpu=True,
         ),
-        loss=LossConfig(use_vgg_loss=False),
+        loss=(
+            LossConfig(use_vgg_loss=True, vgg_dtype="bfloat16")
+            if args.vgg
+            else LossConfig(use_vgg_loss=False)
+        ),
         train=TrainConfig(batch_size=B, lr=1e-4,
                           steps_per_dispatch=args.k),
     )
@@ -133,7 +140,11 @@ def main():
         **mem,
         "protocol_seconds": round(t_proto, 1),
         "protocol": {
-            k: (round(float(v), 4) if np.isscalar(v) else v)
+            k: (
+                round(float(v), 4)
+                if np.isscalar(v) and not isinstance(v, str)
+                else v
+            )
             for k, v in res.items()
             if not isinstance(v, np.ndarray)
         },
