@@ -192,7 +192,18 @@ def main(argv=None) -> int:
                    help="pytorch-fid InceptionV3 checkpoint (exact FID)")
     p.add_argument("--cam_dir", type=str, default="",
                    help="per-camera calibration dir (camNN.xml / CameraNN.mat)")
+    p.add_argument("--eval_precision", type=str, default="highest",
+                   choices=["default", "high", "highest"],
+                   help="default matmul/conv precision for the metric nets: "
+                        "TPU's bf16-3pass default quietly degrades the "
+                        "'exact' LPIPS/FID/estimator backends (and broke "
+                        "SSIM outright before its own fix, PERF_NOTES r5); "
+                        "eval is fidelity-first, so HIGHEST is the default")
     args = p.parse_args(argv)
+    if args.eval_precision != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", args.eval_precision)
     cfg = config_from_args(args)
     logging.basicConfig(level=logging.INFO)
     from gazenerf_tpu.utils.logging import (
