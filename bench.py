@@ -16,6 +16,8 @@ Phases:
 * ``gan``    — vgg + PatchGAN discriminator update (the heaviest recipe)
 * ``loader`` — fresh batches through the real epoch driver (H2D + dispatch)
 * ``deep``   — S=256 deep-march (BASELINE.md north star)
+* ``infer``  — forward render only (the SERVING path: full 512^2 image out,
+               primal Pallas kernels with no activation stash)
 
 Methodology (see PERF_NOTES.md): N steps chained through ``lax.scan`` inside
 one jit, one host sync — immune to the per-dispatch latency of this
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 # Day-one anchor: f32 XLA path, scan-timed, B=2 on 1x TPU v5e (PERF_NOTES.md)
 BASELINE_RAYS_PER_SEC = 37_000.0
 
-PHASES = ("scan", "vgg", "gan", "loader", "deep")
+PHASES = ("scan", "vgg", "gan", "loader", "deep", "infer")
 
 
 def log(msg):
@@ -195,6 +197,36 @@ def main():
         res["deep"] = _scan_phase("deep-march S=256", cfg256, jb, rays,
                                   n_steps=5, reps=2)
 
+    if want("infer"):
+        tr_i = Trainer(cfg, train_len=B, steps_per_epoch=100)
+        ev = tr_i.eval_step  # decode + code compose + FULL 512^2 render
+        N_i = 30
+
+        @jax.jit
+        def run_infer(state):
+            def body(c, _):
+                # thread the carry into the gaze input: each iteration
+                # depends on the last, so XLA cannot hoist the (otherwise
+                # loop-invariant) render out of the scan
+                b2 = dict(jb)
+                b2["pitchyaw"] = jb["pitchyaw"] + c * 1e-9
+                out, _cd = ev(state, b2)
+                return out["mse"], None
+
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=N_i)[0]
+
+        s = run_infer(tr_i.state)
+        jax.block_until_ready(s)
+        best_i = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            s = run_infer(tr_i.state)
+            np.asarray(s)
+            best_i = min(best_i, time.time() - t0)
+        res["infer"] = rays / (best_i / N_i)
+        log(f"[bench] infer (fwd render only): {best_i/N_i*1000:.1f} ms/img-batch"
+            f" = {res['infer']:.0f} rays/s")
+
     rnd = lambda v: None if v is None else round(v, 1)  # noqa: E731
     print(
         json.dumps(
@@ -210,6 +242,7 @@ def main():
                 "gan_rays_per_sec": rnd(res["gan"]),
                 "loader_fed_rays_per_sec": rnd(res["loader"]),
                 "deep_march_256_rays_per_sec": rnd(res["deep"]),
+                "infer_rays_per_sec": rnd(res["infer"]),
             }
         )
     )
