@@ -31,6 +31,12 @@ def main(argv=None) -> int:
     add_common_args(p)
     p.add_argument("--subject", type=str, default=None,
                    help="restrict to a single subject file")
+    p.add_argument("--val_dir", type=str, default="",
+                   help="per-subject h5 dir for a per-epoch validation "
+                        "epoch (per-region metrics, no updates — the "
+                        "reference's eval epoch, gazenerf_trainer.py:601)")
+    p.add_argument("--num_val_images", type=int, default=200,
+                   help="val frames per subject (reference train.py:23)")
     # -- multi-chip / multi-host launch (SURVEY.md §2.8; the reference is
     # single-GPU, train.py:86-88 — every flag below is new TPU-first design)
     p.add_argument("--dp", type=int, default=1,
@@ -98,6 +104,20 @@ def main(argv=None) -> int:
         prefetch=cfg.data.prefetch, process_shard=shard,
     )
     logger.info("dataset: %d samples, %d batches/epoch", len(ds), len(loader))
+    val_loader = None
+    if args.val_dir and jax.process_count() > 1:
+        logger.warning("--val_dir is single-process only for now; skipping")
+    elif args.val_dir:
+        val_ds = GazeH5Dataset(
+            args.val_dir, dataset=cfg.data.dataset, split="val",
+            num_val_images=args.num_val_images, shuffle=False,
+            device_decode=True,
+        )
+        val_loader = BatchLoader(
+            val_ds, cfg.train.batch_size, num_workers=cfg.data.num_workers,
+            prefetch=cfg.data.prefetch, drop_last=False,
+        )
+        logger.info("val dataset: %d samples", len(val_ds))
     if mesh is not None:
         logger.info(
             "mesh: data=%d x ray=%d over %d devices (%d processes)",
@@ -147,6 +167,12 @@ def main(argv=None) -> int:
         )
         if wandb is not None:
             wandb.log({"epoch": epoch, "loss": summary["loss"]})
+        if val_loader is not None:
+            val = trainer.eval_epoch(val_loader, wandb=wandb)
+            logger.info(
+                "epoch %d val: %s", epoch,
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(val.items())),
+            )
         if (epoch + 1) % cfg.train.checkpoint_every == 0:
             from gazenerf_tpu.train.checkpoint import save_checkpoint
 

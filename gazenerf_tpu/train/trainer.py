@@ -649,6 +649,31 @@ class Trainer:
         self.history.append(summary)
         return summary
 
+    def eval_epoch(self, loader, wandb=None, prefix: str = "VAL ") -> Dict[str, float]:
+        """Validation epoch: per-region reconstruction metrics over a val
+        loader, no parameter updates (reference eval epoch,
+        trainer/gazenerf_trainer.py:601-708 — dead in the reference's
+        default train.py, which passes valid_data_loader=None; live here).
+
+        Metrics stay on device per batch and reduce in one host sync.
+        """
+        parts: Dict[str, list] = {}
+        n = 0
+        for b in loader:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            out, _ = self.eval_step(self.state, jb)
+            for k, v in out.items():
+                parts.setdefault(k, []).append(v)
+            n += 1
+        if not n:
+            return {}
+        means = {
+            k: float(jnp.mean(jnp.stack(v))) for k, v in parts.items()
+        }  # one sync
+        if wandb is not None:
+            wandb.log({prefix + k: v for k, v in means.items()})
+        return means
+
     def fit(self, loader, num_epochs: int, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 1):
         from gazenerf_tpu.train.checkpoint import save_checkpoint

@@ -64,3 +64,25 @@ def test_cli_mesh_with_multi_step_dispatch(tmp_path):
     )
     assert int(r[0]["batches"]) == 4
     assert np.isfinite(float(r[0]["loss"]))
+
+
+def test_cli_val_epoch(tmp_path, capsys):
+    """--val_dir runs a per-epoch validation epoch (per-region metrics, no
+    updates — the reference eval epoch, trainer/gazenerf_trainer.py:601-708,
+    which the reference's own train.py never wires up)."""
+    d = str(tmp_path / "data")
+    v = str(tmp_path / "val")
+    os.makedirs(d)
+    os.makedirs(v)
+    write_synthetic_subject(d, num_frames=8, img_size=64)
+    write_synthetic_subject(v, num_frames=8, img_size=64, seed=3)
+
+    _run_cli(d, str(tmp_path / "ck"), [
+        "--val_dir", v, "--num_val_images", "8",
+    ])
+    # cli.train's configure_logging routes through a stdout handler
+    out = capsys.readouterr().out
+    val_lines = [ln for ln in out.splitlines() if " val: " in ln]
+    assert val_lines, out[-2000:]
+    for key in ("mse=", "psnr=", "head_mse=", "eyes_mse=", "nonhead_mse="):
+        assert key in val_lines[-1], val_lines[-1]
