@@ -346,6 +346,7 @@ def test_ray_chunked_render_matches_unchunked(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_path_matches_xla(rng):
     """GazeNeRF with use_pallas (interpret on CPU) == the bf16 XLA path."""
     from gazenerf_tpu.config import ModelConfig
@@ -484,6 +485,7 @@ def test_fused_upsampler_exact_f32(shape):
         )
 
 
+@pytest.mark.slow
 def test_fused_renderer_mode_matches_phase_gm():
     """NeuralRenderer shuffle_mode='fused' (interpret) == phase_gm+fold with
     an identical parameter tree."""
