@@ -135,6 +135,15 @@ class ModelConfig:
     # between full-stash (S=64 winner) and full-recompute (S=256 winner) by
     # trading k-1/k of the S-scaled stash HBM traffic for recompute matmuls
     pallas_stash_every: int = 1
+    # store the stash tensors consumed only by ReLU masks / dW outer products
+    # (x0..x6, y0b) as per-(ray,sample)-row-scaled int8 instead of bf16: halves their HBM
+    # write+read traffic — the S-scaled term that decides the stash-vs-
+    # recompute crossover.  x7 and y1 stay bf16 (the backward recomputes the
+    # density/feature heads from them, feeding the nonlinear integration
+    # backward).  Opt-in: gradients pick up ~quantization-step noise instead
+    # of matching the recompute path bitwise.  Requires stash_every == 1 and
+    # not split_dw.
+    pallas_stash_dtype: str = "bfloat16"
     # backward kernel emits only the data-gradient chain (masked per-layer
     # dpre cotangents, bf16, to HBM); the weight gradients become one giant
     # [C_in,N]x[N,C_out] XLA matmul per layer over the stashed activations.

@@ -86,6 +86,15 @@ class FieldDims(NamedTuple):
     # backward) — the [B,R,S,63] embed/dembed tensors never touch HBM and
     # the XLA-side sin/cos + concat + layout-copy chain disappears
     n_freqs: int = 10  # octaves for the in-kernel encoding (embed = 3+6*F)
+    stash_dtype: str = "bfloat16"  # "int8": store the stash tensors that are
+    # consumed ONLY by ReLU masks and dW outer products (x0..x6, y0b) as
+    # per-(ray,sample)-row symmetrically quantized int8 — halves their HBM write+read
+    # traffic, the exact term that makes the stash backward lose at deep
+    # marches (S-scaled, PERF_NOTES round 4/5).  x7 and y1 stay bf16: the
+    # backward recomputes the density/feature heads from them, so their
+    # error would propagate nonlinearly through the integration backward.
+    # Opt-in (gradients deviate by ~the quantization step instead of being
+    # bitwise-equal to the recompute path); requires stash_every == 1.
 
 
 def _split_params(params: Dict, dims: FieldDims):
@@ -137,6 +146,22 @@ def stash_layout(dims: FieldDims):
     if k == 1:
         return [(f"x{i}", H) for i in range(8)] + [("y0b", H), ("y1", H2)]
     return [(f"x{i}", H) for i in range(8) if i % k == k - 1]
+
+
+# stash tensors the backward feeds into recomputed head matmuls whose outputs
+# enter the integration backward (sigma via x7, feat via y1): these stay bf16
+# under stash_dtype="int8" so quantization error cannot propagate through the
+# nonlinear alpha/transmittance chain
+_EXACT_STASH_TAGS = frozenset({"x7", "y1"})
+
+
+def stash_quant_tags(dims: FieldDims):
+    """Ordered tags stored as per-row-scaled int8 under stash_dtype='int8'."""
+    if not dims.stash_acts or dims.stash_dtype != "int8":
+        return []
+    assert dims.stash_every == 1, "int8 stash requires stash_every == 1"
+    assert not dims.split_dw, "split_dw's XLA dW epilogue reads a bf16 stash"
+    return [t for t, _ in stash_layout(dims) if t not in _EXACT_STASH_TAGS]
 
 
 def _embed_consts(dims: FieldDims):
@@ -193,6 +218,8 @@ def _field_kernel(dims: FieldDims):
     H2 = H // 2
     N = TR * S
     stash_slot = {tag: i for i, (tag, _) in enumerate(stash_layout(dims))}
+    q_tags = stash_quant_tags(dims)
+    q_slot = {tag: i for i, tag in enumerate(q_tags)}
 
     def kernel(
         embed_ref, zvals_ref, zdists_ref,
@@ -200,10 +227,11 @@ def _field_kernel(dims: FieldDims):
         W0e_ref, Wmid_ref, bmid_ref, W5e_ref, W5x_ref,
         Wd_ref, bd_ref, Wr0_ref, br0_ref, Wr1x_ref, Wr2_ref, br2_ref,
         feat_out_ref, bga_out_ref, depth_out_ref, w_out_ref,
-        *stash_refs,  # when dims.stash_acts: acts0..7, y0b, y1
+        *stash_refs,  # when dims.stash_acts: acts0..7, y0b, y1 [+ scales]
     ):
         f32 = jnp.float32
         bf = jnp.bfloat16
+        scale_cols = [None] * len(q_tags)  # per-ray scales, written at the end
 
         bidx = pl.program_id(0)
         if dims.embed_in_kernel:
@@ -218,7 +246,24 @@ def _field_kernel(dims: FieldDims):
             )
 
         def stash(tag, val, width):
-            if tag in stash_slot:
+            if tag not in stash_slot:
+                return
+            if tag in q_slot:
+                # per-sample-row symmetric int8: s = amax/127 over each
+                # (ray, sample) row's `width` lanes — finer than a per-ray
+                # scale AND the only granularity whose ops all stay in the
+                # big tensor's native [N, width] 2-D shape (cross-shape
+                # casts like (TR,S)->(N,1) are unsupported shape casts in
+                # Mosaic; 3-D arithmetic crashes its layout pass).
+                vf = val.astype(f32)  # [N, width]
+                a = jnp.max(jnp.abs(vf), axis=1, keepdims=True)  # [N, 1]
+                s = jnp.maximum(a, 1e-12) / 127.0
+                q = jnp.clip(jnp.round(vf * (1.0 / s)), -127.0, 127.0)
+                stash_refs[stash_slot[tag]][0] = q.astype(jnp.int8).reshape(
+                    TR, S, width
+                )
+                scale_cols[q_slot[tag]] = s
+            else:
                 stash_refs[stash_slot[tag]][0] = val.reshape(TR, S, width)
 
         x = dense(embed, W0e_ref[...].astype(bf)) + cb0_ref[bidx][None, :]
@@ -285,6 +330,10 @@ def _field_kernel(dims: FieldDims):
         bga_out_ref[0] = (1.0 - acc)[:, None].astype(bga_out_ref.dtype)
         depth_out_ref[0] = depth[:, None].astype(depth_out_ref.dtype)
         w_out_ref[0] = w.astype(w_out_ref.dtype)
+        if q_tags:
+            stash_refs[-1][0] = jnp.concatenate(scale_cols, axis=1).reshape(
+                TR, S, len(q_tags)
+            )
 
     return kernel
 
@@ -351,9 +400,21 @@ def _pallas_forward(params, embed, sc, ac, zvals, zdists, dims: FieldDims):
         # there.  PERF_NOTES r3.)  stash_every=k>1: only every k-th trunk
         # layer, for deep marches where the S-scaled stash traffic is the
         # bottleneck (PERF_NOTES r5).
-        for _, w_ in stash_layout(dims):
+        q_tags = set(stash_quant_tags(dims))
+        for tag, w_ in stash_layout(dims):
             out_specs.append(tile((1, TR, S, w_), lambda b, r: (b, r, 0, 0)))
-            out_shape.append(jax.ShapeDtypeStruct((B, R, S, w_), bf))
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (B, R, S, w_), jnp.int8 if tag in q_tags else bf
+                )
+            )
+        if q_tags:
+            # per-(ray,sample) quantization scales, one f32 lane per tag
+            n_q = len(q_tags)
+            out_specs.append(
+                tile((1, TR, S, n_q), lambda b, r: (b, r, 0, 0))
+            )
+            out_shape.append(jax.ShapeDtypeStruct((B, R, S, n_q), f32))
 
     x_in = embed if dims.embed_in_kernel else embed.astype(bf)
     out = pl.pallas_call(

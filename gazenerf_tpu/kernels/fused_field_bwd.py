@@ -35,6 +35,7 @@ from gazenerf_tpu.kernels.fused_field import (
     _split_params,
     compiler_params,
     stash_layout,
+    stash_quant_tags,
 )
 
 _EPS = 1e-10
@@ -57,6 +58,11 @@ def _bwd_kernel(dims: FieldDims):
     ):
         n_tail = 22 if dims.split_dw else 18
         stash_refs = rest[:-n_tail]
+        q_tags = stash_quant_tags(dims)
+        q_slot = {t: i for i, t in enumerate(q_tags)}
+        if q_tags:  # last stash input carries the per-(ray,sample) scales
+            q_scales = stash_refs[-1][0].reshape(N, len(q_tags))  # f32
+            stash_refs = stash_refs[:-1]
         if dims.split_dw:
             (
                 dembed_ref, dzvals_ref, dzdists_ref,
@@ -115,10 +121,23 @@ def _bwd_kernel(dims: FieldDims):
                 tag: ref
                 for (tag, _), ref in zip(stash_layout(dims), stash_refs)
             }
+
+            def read_stash(tag, width):
+                v = by_tag[tag][0].reshape(N, width)
+                if tag in q_slot:
+                    # dequantize per-(ray,sample) int8 -> bf16 (sign
+                    # preserved, so the ReLU masks below are exact w.r.t.
+                    # the quantized value); big-tensor math stays 2-D
+                    # [N, width] — Mosaic rejects the cross-shape casts a
+                    # coarser per-ray scale would need
+                    j = q_slot[tag]
+                    v = (v.astype(f32) * q_scales[:, j : j + 1]).astype(bf)
+                return v
+
             acts = [None] * 8
             for i in range(8):
                 if f"x{i}" in by_tag:
-                    acts[i] = by_tag[f"x{i}"][0].reshape(N, H)
+                    acts[i] = read_stash(f"x{i}", H)
             mid_of = {1: 0, 2: 1, 3: 2, 4: 3, 6: 4, 7: 5}
             for i in range(8):
                 if acts[i] is not None:
@@ -143,8 +162,8 @@ def _bwd_kernel(dims: FieldDims):
                 acts[i] = jnp.maximum(y, 0.0).astype(bf)
             x7 = acts[7]
             if "y0b" in by_tag:
-                y0b = by_tag["y0b"][0].reshape(N, H)
-                y1 = by_tag["y1"][0].reshape(N, H2)
+                y0b = read_stash("y0b", H)
+                y1 = read_stash("y1", H2)
             else:
                 y0 = dense(x7, Wr0_ref[...].astype(bf)) + br0_ref[...][None, :]
                 y0b = y0.astype(bf)
@@ -452,9 +471,14 @@ def pallas_backward(
         ]
 
     stash = tuple(stash) if dims.stash_acts else ()
+    n_q = len(stash_quant_tags(dims))
+    stash_tensors = stash[: len(stash) - 1] if n_q else stash  # scales last
     stash_specs = [
-        tile((1, TR, S, a.shape[-1]), lambda b, r: (b, r, 0, 0)) for a in stash
+        tile((1, TR, S, a.shape[-1]), lambda b, r: (b, r, 0, 0))
+        for a in stash_tensors
     ]
+    if n_q:
+        stash_specs.append(tile((1, TR, S, n_q), lambda b, r: (b, r, 0, 0)))
 
     outs = pl.pallas_call(
         _bwd_kernel(dims),

@@ -133,6 +133,11 @@ class GazeNeRF(nn.Module):
             stash_every=1 if cfg.pallas_split_dw else cfg.pallas_stash_every,
             split_dw=cfg.pallas_split_dw,
             dens_vpu=cfg.pallas_dens_vpu,
+            # int8 stash is a single-branch-kernel feature; split_dw's XLA
+            # dW epilogue contracts over raw bf16 stash tensors
+            stash_dtype=(
+                "bfloat16" if cfg.pallas_split_dw else cfg.pallas_stash_dtype
+            ),
         )
         return dims if R % dims.tile_rays == 0 else None
 
@@ -260,6 +265,7 @@ class GazeNeRF(nn.Module):
                     split_dw=False,
                     dens_vpu=False,
                     stash_acts=cfg.pallas_stash_acts,
+                    stash_dtype="bfloat16",  # dual kernels: bf16 stash only
                 )
 
                 outs = fused_dual_render(

@@ -179,6 +179,48 @@ def test_partial_stash_backward_matches_recompute(rng):
             )
 
 
+def test_int8_stash_backward_close_to_recompute(rng):
+    """stash_dtype="int8" quantizes the mask/dW-only stash tensors (x0..x6,
+    y0b) per sample row; x7/y1 stay bf16 so the recomputed density/feature heads —
+    and through them the integration backward — are exact.  Gradients must
+    track the recompute backward to ~the bf16-noise scale (the same order as
+    the bf16 paths' own deviation from f32 truth), and the forward primal is
+    untouched (the stash only exists for the backward)."""
+    mlp, params, args, dims = make_inputs(rng, B=2, R=32, S=8)
+    embed, sc, ac, zvals, zdists = args
+    dims = dims._replace(bwd_tile_rays=16, use_pallas_bwd=True, stash_acts=True)
+    d_q = dims._replace(stash_dtype="int8")
+
+    from gazenerf_tpu.kernels.fused_field import stash_quant_tags
+
+    assert stash_quant_tags(dims) == []
+    assert stash_quant_tags(d_q) == [f"x{i}" for i in range(7)] + ["y0b"]
+
+    def make_loss(d):
+        def loss(params, embed, sc, ac):
+            f, bga, dep, w = fused_field_render(params, embed, sc, ac, zvals, zdists, d)
+            return jnp.sum(f**2) + jnp.sum(bga**2) + jnp.sum(dep**2) + jnp.sum(w**2)
+
+        return loss
+
+    # primal unchanged (value_and_grad's forward writes the stash; the value
+    # itself never depends on it)
+    v_re, g_re = jax.value_and_grad(make_loss(dims), argnums=(0, 1, 2, 3))(
+        params, embed, sc, ac
+    )
+    v_q, g_q = jax.value_and_grad(make_loss(d_q), argnums=(0, 1, 2, 3))(
+        params, embed, sc, ac
+    )
+    np.testing.assert_allclose(np.asarray(v_re), np.asarray(v_q), rtol=1e-6)
+
+    la = jax.tree_util.tree_leaves(g_re)
+    lb = jax.tree_util.tree_leaves(g_q)
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(la, lb))
+    den = sum(float(jnp.sum(a**2)) for a in la)
+    rel = (num / max(den, 1e-12)) ** 0.5
+    assert rel < 0.03, rel  # ~1% measured; bf16-vs-f32 is the same order
+
+
 def test_split_dw_backward_matches_fused(rng):
     """split_dw=True (dX chain in-kernel, dW as XLA epilogue matmuls over the
     stashed activations) == the fully-fused stash backward.  Both contract the
