@@ -136,19 +136,18 @@ def main():
 
     rays = B * cfg.model.featmap_size**2
     res = {p: None for p in PHASES}
-    if want("scan"):
-        res["scan"] = _scan_phase("scan-fed", cfg, jb, rays, n_steps=20)
-    if want("vgg"):
-        res["vgg"] = _scan_phase("vgg-on (reference default recipe)",
-                                 cfg_vgg, jb, rays, n_steps=10)
-    if want("gan"):
-        res["gan"] = _scan_phase("vgg+gan", cfg_gan, jb, rays, n_steps=10)
 
-    # loader-fed phase: fresh batches through BatchLoader -> stacked K=8
-    # multi-step dispatches -> real H2D transfers, measured through the REAL
-    # epoch driver (Trainer.train_epoch — the exact path `cli.train` runs).
-    # Round 3 measured 25K here vs 85K scan-fed; the per-step host sync +
-    # one-dispatch-per-batch pattern was the gap (VERDICT round 3 #1).
+    # loader-fed phase FIRST: fresh batches through BatchLoader -> stacked
+    # K=8 multi-step dispatches -> real H2D transfers, measured through the
+    # REAL epoch driver (Trainer.train_epoch — the exact path `cli.train`
+    # runs).  Round 3 measured 25K here vs 85K scan-fed; the per-step host
+    # sync + one-dispatch-per-batch pattern was the gap (VERDICT round 3
+    # #1).  Runs before the scan phases because this phase is the only one
+    # sensitive to host-side state: after three compile-heavy scan phases
+    # the SAME epoch drive measures ~128 ms/batch vs ~103 in a fresh
+    # process (thread-pool/page-cache interference), and the device-only
+    # phases are order-insensitive (scan measured 95.4 quiet vs 95.9 under
+    # full CPU contention).
     if want("loader"):
         tr = Trainer(cfg, train_len=B, steps_per_epoch=100)
         # 64 frames = 4 K=8 dispatches/epoch, enough for the prefetched H2D
@@ -170,6 +169,14 @@ def main():
         res["loader"] = rays / best_lf
         log(f"[bench] loader-fed: {best_lf*1000:.1f} ms/batch"
             f" = {res['loader']:.0f} rays/s")
+
+    if want("scan"):
+        res["scan"] = _scan_phase("scan-fed", cfg, jb, rays, n_steps=20)
+    if want("vgg"):
+        res["vgg"] = _scan_phase("vgg-on (reference default recipe)",
+                                 cfg_vgg, jb, rays, n_steps=10)
+    if want("gan"):
+        res["gan"] = _scan_phase("vgg+gan", cfg_gan, jb, rays, n_steps=10)
 
     # deep-march phase: the BASELINE.json-named workload — fwd+bwd at a
     # 256-sample ray march (ray_chunk bounds the live stash so S=256 fits
