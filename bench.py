@@ -188,13 +188,15 @@ def main():
                 renderer_dtype="bfloat16",
                 remat_fields=False,
                 num_sample_coarse=256,
-                # deep-march plan (PERF_NOTES round 4): the stash-acts
-                # backward LOSES at S=256 (its HBM stash traffic scales with
-                # S: 395.7 vs 365.5 ms) — recompute-backward + 512-ray chunks
-                # is both faster and memory-bounded
+                # deep-march plan (PERF_NOTES rounds 4-5): the stash-acts
+                # backward LOSES at S=256 (395.7 vs 365.5 ms; int8 stash
+                # loses harder) — recompute-backward + 512-ray chunks is
+                # both faster and memory-bounded.  bwd TR16 beats the old
+                # TR8 by 16.5 ms (348.8 vs 365.3; TR32 OOMs physical VMEM
+                # at 214.8M) — round-5 tile sweep.
                 ray_chunk=512,
                 pallas_stash_acts=False,
-                pallas_bwd_tile_rays=8,
+                pallas_bwd_tile_rays=16,
                 pallas_vmem_mb=110,
                 pallas_dens_vpu=True,
             ),
