@@ -90,6 +90,14 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "set_detect_anomaly analogue (SURVEY.md §5)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the first epoch here")
+    p.add_argument("--pallas_tuning", type=str, default="auto",
+                   choices=["auto", "off"],
+                   help="auto (default): apply the measured-best kernel "
+                        "knobs for the run's shape (stash-acts backward + "
+                        "TR16 at S<=64, recompute + ray-chunked deep march "
+                        "at S>64 — the bench.py configs, PERF_NOTES.md); "
+                        "off: library defaults (conservative tiles, no "
+                        "stash).  All knobs are inert off-TPU.")
 
 
 def check_frozen_ckpts(cfg: Config, allow_random: bool = False) -> None:
@@ -158,19 +166,56 @@ def setup_compilation_cache(cache_dir: Optional[str] = None) -> None:
         pass
 
 
+def tuned_kernel_overrides(featmap_size: int, num_sample_coarse: int) -> dict:
+    """Measured-best Pallas kernel knobs for a run shape (PERF_NOTES.md).
+
+    These are exactly the configurations bench.py's phases run — without
+    them a CLI user trains at the library's conservative defaults
+    (~112 ms/step at the flagship shape vs the tuned 95.6).  All returned
+    knobs are inert on non-TPU backends (the model falls back to the XLA
+    path), so CPU tests/smoke runs are unaffected.
+
+    * S <= 64 (the reference shape): stash-acts backward at bwd TR16 under
+      a raised Mosaic VMEM cap, density head on the VPU (rounds 3-4).
+    * S > 64 (deep marches): the stash loses (round 4; int8 stash loses
+      harder, round 5) — recompute backward at bwd TR16 (round-5 tile
+      sweep; TR32 exceeds physical VMEM) with 512-ray checkpointed chunks
+      to bound the live footprint (free at S=256, round 4).
+    """
+    deep = num_sample_coarse > 64
+    rays = featmap_size * featmap_size
+    over = dict(
+        pallas_dens_vpu=True,
+        pallas_bwd_tile_rays=16,
+        pallas_stash_acts=not deep,
+        pallas_vmem_mb=110 if deep else 100,
+    )
+    if deep and rays > 512 and rays % 512 == 0:
+        over["ray_chunk"] = 512
+    return over
+
+
 def config_from_args(args) -> Config:
     setup_compilation_cache()
+    featmap_size = getattr(args, "featmap_size", 64)
+    num_sample_coarse = getattr(args, "num_sample_coarse", 64)
+    tuned = (
+        tuned_kernel_overrides(featmap_size, num_sample_coarse)
+        if getattr(args, "pallas_tuning", "auto") == "auto"
+        else {}
+    )
     return Config(
         model=ModelConfig(
             hier_sampling=args.hier_sampling,
             include_vd=args.include_vd,
             compute_dtype=args.compute_dtype,
             renderer_dtype=args.renderer_dtype,
-            featmap_size=getattr(args, "featmap_size", 64),
+            featmap_size=featmap_size,
             pred_img_size=getattr(args, "pred_img_size", 512),
-            num_sample_coarse=getattr(args, "num_sample_coarse", 64),
+            num_sample_coarse=num_sample_coarse,
             mlp_hidden=getattr(args, "mlp_hidden", 384),
             use_pallas=getattr(args, "use_pallas", True),
+            **tuned,
         ),
         loss=LossConfig(
             eye_loss_importance=args.eye_loss_importance,

@@ -76,6 +76,39 @@ def test_bare_config_matches_cli_defaults():
         assert _get(lib_cfg, path) == _get(cli_cfg, path), path
 
 
+def test_cli_applies_tuned_kernel_knobs():
+    """--pallas_tuning auto (default) puts the bench.py measured-best kernel
+    configuration on the CLI path (PERF_NOTES: stash+TR16 at S<=64, recompute
+    + ray-chunk at deep marches); "off" keeps library defaults."""
+    import argparse
+
+    from gazenerf_tpu.cli.common import add_common_args
+
+    def cfg_for(argv):
+        p = argparse.ArgumentParser()
+        add_common_args(p)
+        return config_from_args(p.parse_args(argv))
+
+    m = cfg_for([]).model  # flagship shape
+    assert m.pallas_stash_acts and m.pallas_bwd_tile_rays == 16
+    assert m.pallas_dens_vpu and m.pallas_vmem_mb == 100
+    assert m.ray_chunk == 0
+
+    deep = cfg_for(["--num_sample_coarse", "256"]).model
+    assert not deep.pallas_stash_acts  # stash loses at deep marches
+    assert deep.pallas_bwd_tile_rays == 16 and deep.pallas_vmem_mb == 110
+    assert deep.ray_chunk == 512
+
+    smoke = cfg_for(["--featmap_size", "16", "--num_sample_coarse", "256"]).model
+    assert smoke.ray_chunk == 0  # 256 rays: too small to chunk
+
+    off = cfg_for(["--pallas_tuning", "off"]).model
+    lib = Config().model
+    for k in ("pallas_stash_acts", "pallas_bwd_tile_rays", "pallas_vmem_mb",
+              "pallas_dens_vpu", "ray_chunk"):
+        assert getattr(off, k) == getattr(lib, k), k
+
+
 def test_train_cli_refuses_random_frozen_nets(tmp_path):
     """cli.train fails loudly when a perceptual loss would run against a
     random-initialized frozen net (VERDICT r4 weak #2; the reference always
